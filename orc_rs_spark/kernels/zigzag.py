@@ -1,0 +1,23 @@
+"""Zigzag transform: signed <-> unsigned with small-magnitude bias.
+
+Semantics match the ORC spec / protobuf zigzag used by the reference's
+decoders (parity target: /root/reference/src/encoding/mod.rs:482-587).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def zigzag_encode(values: np.ndarray) -> np.ndarray:
+    """Signed int64 array -> zigzagged uint64 array: (v << 1) ^ (v >> 63)."""
+    v = np.asarray(values, dtype=np.int64)
+    return ((v.astype(np.uint64) << np.uint64(1)) ^ (v >> np.int64(63)).astype(np.uint64))
+
+
+def zigzag_decode(values: np.ndarray) -> np.ndarray:
+    """Zigzagged uint64 array -> signed int64 array: (v >> 1) ^ -(v & 1)."""
+    v = np.asarray(values, dtype=np.uint64)
+    return ((v >> np.uint64(1)) ^ (-(v & np.uint64(1)).astype(np.int64)).astype(np.uint64)).astype(
+        np.int64
+    )
