@@ -1,0 +1,158 @@
+"""Stripe-like encoded chunk format.
+
+Mapping to the reference's data model (SURVEY.md §1.3): ORC stripe -> chunk
+(one per group of rows inside a Spark partition); ORC stream -> one framed
+byte range inside the chunk's ``data`` column, located by ``stream_lengths``
+exactly like the stripe footer's stream list
+(/root/reference/src/proto/orc_proto.proto:121-146, offset accumulation at
+/root/reference/src/column_reader/mod.rs:269-288); ColumnEncoding.kind ->
+the per-stream ``codecs`` tags.
+
+Chunk streams, fixed order:
+  0: doc_id   (string codec)
+  1: n_tok    (int codec; doubles as the tokens LENGTH stream, the R12
+               list-offsets pattern: /root/reference/src/column_reader/
+               complex_type_reader.rs:130-144)
+  2: tokens   (int codec over the flattened list values)
+  3: source   (string codec)
+
+Each stream is independently block-compressed (ORC-style zlib framing,
+kernels/blockcomp.py) when that wins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from orc_rs_spark.kernels.blockcomp import block_compress, block_decompress
+from orc_rs_spark.kernels.select import INT_CODECS, STR_CODECS, encode_ints_auto, encode_strings_auto
+
+CODEC_VERSION = "1"
+
+STREAMS = ("doc_id", "n_tok", "tokens", "source")
+
+# Spark-side schema of the chunk table (keep in sync with CHUNK_ARROW_SCHEMA)
+CHUNK_DDL = (
+    "chunk_id string, part_id int, source string, codec string, "
+    "block_codec string, n_rows bigint, n_values bigint, "
+    "stream_lengths array<bigint>, data binary, "
+    "orig_bytes bigint, enc_bytes bigint, min_val bigint, max_val bigint"
+)
+
+CHUNK_ARROW_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("part_id", pa.int32()),
+        ("source", pa.string()),
+        ("codec", pa.string()),
+        ("block_codec", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_values", pa.int64()),
+        ("stream_lengths", pa.list_(pa.int64())),
+        ("data", pa.binary()),
+        ("orig_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("min_val", pa.int64()),
+        ("max_val", pa.int64()),
+    ]
+)
+
+
+def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(lengths int64, flat int64 values) from a list<int> array, zero-copy."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("null token arrays not supported")
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.diff(offsets), flat
+
+
+def _maybe_block(data: bytes, block_codec: str) -> tuple[bytes, str]:
+    if block_codec == "none" or len(data) < 64:
+        return data, "none"
+    comp = block_compress(data, block_codec)
+    if len(comp) < len(data):
+        return comp, block_codec
+    return data, "none"
+
+
+def encode_chunk(batch: pa.RecordBatch, part_id: int, block_codec: str = "zlib") -> dict:
+    """One RecordBatch of (doc_id, tokens, n_tok, source) -> one chunk row."""
+    doc_id = batch.column("doc_id")
+    tokens = batch.column("tokens")
+    source = batch.column("source")
+    n_rows = batch.num_rows
+    lengths, flat = _list_parts(tokens)
+    # n_tok is derived (== lengths); encode lengths once and reuse on decode
+    c_doc, s_doc = encode_strings_auto(doc_id)
+    c_len, s_len = encode_ints_auto(lengths)
+    c_tok, s_tok = encode_ints_auto(flat)
+    c_src, s_src = encode_strings_auto(source)
+    streams = []
+    block_tags = []
+    for raw in (s_doc, s_len, s_tok, s_src):
+        comp, tag = _maybe_block(raw, block_codec)
+        streams.append(comp)
+        block_tags.append(tag)
+    data = b"".join(streams)
+    orig_bytes = (
+        sum(len(x) for x in (doc_id.buffers() + source.buffers()) if x is not None)
+        + flat.nbytes
+        + lengths.nbytes
+    )
+    h = hashlib.sha1()
+    h.update(CODEC_VERSION.encode())
+    h.update(str(part_id).encode())
+    if n_rows:
+        h.update(str(doc_id[0]).encode())
+        h.update(str(doc_id[n_rows - 1]).encode())
+    h.update(str(n_rows).encode())
+    srcs = source.unique()
+    return {
+        "chunk_id": h.hexdigest(),
+        "part_id": part_id,
+        "source": str(srcs[0]) if len(srcs) == 1 else "mixed",
+        "codec": ",".join((c_doc, c_len, c_tok, c_src)),
+        "block_codec": ",".join(block_tags),
+        "n_rows": n_rows,
+        "n_values": int(lengths.sum()),
+        "stream_lengths": [len(s) for s in streams],
+        "data": data,
+        "orig_bytes": int(orig_bytes),
+        "enc_bytes": len(data),
+        "min_val": int(flat.min()) if len(flat) else 0,
+        "max_val": int(flat.max()) if len(flat) else 0,
+    }
+
+
+def decode_chunk(row: dict) -> pa.RecordBatch:
+    """Chunk row -> RecordBatch (doc_id, tokens, n_tok, source)."""
+    codecs = row["codec"].split(",")
+    block_tags = row["block_codec"].split(",")
+    stream_lengths = row["stream_lengths"]
+    n_rows = int(row["n_rows"])
+    n_values = int(row["n_values"])
+    data = row["data"]
+    parts = []
+    pos = 0
+    for ln in stream_lengths:
+        parts.append(data[pos : pos + int(ln)])
+        pos += int(ln)
+    raws = [block_decompress(p, t) if t != "none" else p for p, t in zip(parts, block_tags)]
+    doc_id = STR_CODECS[codecs[0]][1](raws[0], n_rows)
+    lengths = INT_CODECS[codecs[1]][1](raws[1], n_rows)
+    flat = INT_CODECS[codecs[2]][1](raws[2], n_values)
+    source = STR_CODECS[codecs[3]][1](raws[3], n_rows)
+    offsets64 = np.concatenate(([0], np.cumsum(lengths)))
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets64.astype(np.int32)), pa.array(flat.astype(np.int32))
+    )
+    return pa.RecordBatch.from_arrays(
+        [doc_id, tokens, pa.array(lengths.astype(np.int32)), source],
+        names=["doc_id", "tokens", "n_tok", "source"],
+    )

@@ -1,0 +1,57 @@
+"""Distributed decode pass: chunk table -> reconstructed token table, plus
+the bit-identity verification join (the north star's per-row invariant).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from orc_rs_spark.chunk import decode_chunk
+
+TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def decode_table(chunks: DataFrame) -> DataFrame:
+    """Chunk table -> (doc_id, tokens, n_tok, source). Each chunk decodes
+    independently (the stripe is the unit of independent decoding,
+    /root/reference/src/reader.rs:161-177)."""
+
+    def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for row in batch.to_pylist():
+                yield decode_chunk(row)
+
+    return chunks.mapInArrow(decode_partition, TOKEN_DDL)
+
+
+def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> tuple[int, int]:
+    """Distributed bit-identity check: join on doc_id, compare token arrays.
+
+    Returns (n_rows, n_mismatches); n_mismatches must be 0. Mirrors the
+    reference's round-trip decode-equality tests
+    (/root/reference/src/encoding/rlev1.rs:826-867) at distributed scale.
+    """
+    o = original.select(
+        F.col("doc_id"), F.col("tokens").alias("o_tokens"), F.col("n_tok").alias("o_n_tok")
+    )
+    d = decoded.select(
+        F.col("doc_id"), F.col("tokens").alias("d_tokens"), F.col("n_tok").alias("d_n_tok")
+    )
+    j = o.join(d, "doc_id", "full_outer")
+    agg = j.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("o_tokens").isNull()
+                | F.col("d_tokens").isNull()
+                | (F.col("o_n_tok") != F.col("d_n_tok"))
+                | (F.col("o_tokens") != F.col("d_tokens")),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    return int(agg["n"]), int(agg["bad"] or 0)

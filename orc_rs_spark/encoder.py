@@ -1,0 +1,55 @@
+"""Distributed encode pass: token table -> encoded chunk table.
+
+Spark-first design (SURVEY.md §3.3 translation): the Iceberg/parquet
+partition split takes the stripe's role as the unit of parallelism; each
+Arrow batch inside ``mapInArrow`` becomes one encoded chunk (the reference's
+pull-based per-batch loop, /root/reference/src/stripe.rs:53-84, becomes
+Spark's Arrow-batch iteration). All per-value work is NumPy inside the
+kernels — no per-row Python.
+
+Skew handling (north_rule): ``source`` is Zipf-skewed, so partitioning by
+``source`` alone would melt one executor. ``prepare_for_encode`` range-
+partitions on (source, doc_id) — doc_id acts as the salt with perfect
+granularity — giving uniform partition sizes while keeping chunks
+single-source (better codec fit + deterministic chunk ids under resume).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark import TaskContext
+
+from orc_rs_spark.chunk import CHUNK_ARROW_SCHEMA, CHUNK_DDL, encode_chunk
+
+
+def prepare_for_encode(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Range-partition on (source, doc_id) to defuse source skew and make
+    chunk contents (and so chunk ids) deterministic under resume."""
+    cols = [df["source"], df["doc_id"]]
+    rp = df.repartitionByRange(partitions, *cols) if partitions else df.repartitionByRange(*cols)
+    return rp.sortWithinPartitions("source", "doc_id")
+
+
+def encode_table(
+    df: DataFrame,
+    block_codec: str = "zlib",
+    repartition: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, tokens, n_tok, source) -> chunk table (CHUNK_DDL schema)."""
+    if repartition:
+        df = prepare_for_encode(df, partitions)
+
+    def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            row = encode_chunk(batch, pid, block_codec=block_codec)
+            yield pa.RecordBatch.from_pylist([row], schema=CHUNK_ARROW_SCHEMA)
+
+    return df.mapInArrow(encode_partition, CHUNK_DDL)

@@ -1,0 +1,167 @@
+"""Per-chunk codec auto-selection — the writer-side 'optimizer'.
+
+The reference only *consumes* a chosen encoding (ColumnEncoding.kind
+dispatch, /root/reference/src/column_reader/mod.rs:379-396;
+/root/reference/src/proto/orc_proto.proto:148-162). Here we make the choice,
+mirroring ORC's public writer heuristics (SURVEY.md §4.3): sample run
+statistics, monotonicity, distinct ratio, and bit-width histograms of
+zigzag(v) and v-min, estimate each codec's encoded size, and pick the
+cheapest. The chosen codec id is recorded in chunk metadata exactly like
+ColumnEncoding.kind.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from orc_rs_spark.kernels.bitpack import bit_lengths
+from orc_rs_spark.kernels.fsst import fsst_encode
+from orc_rs_spark.kernels.intcodecs import (
+    bitpack_decode,
+    bitpack_encode,
+    dict_decode,
+    dict_encode,
+    for_decode,
+    for_encode,
+    raw_decode,
+    raw_encode,
+)
+from orc_rs_spark.kernels.rlev1 import rlev1_decode, rlev1_encode
+from orc_rs_spark.kernels.rlev2 import rlev2_decode, rlev2_encode, rlev2_encode_runs
+from orc_rs_spark.kernels.strings import (
+    string_dict_decode,
+    string_dict_encode,
+    string_direct_decode,
+    string_direct_encode,
+)
+from orc_rs_spark.kernels.zigzag import zigzag_encode
+
+SAMPLE = 65536
+
+INT_CODECS = {
+    "rlev2": (lambda v: rlev2_encode(v, signed=True), lambda b, n: rlev2_decode(b, n, signed=True)),
+    "rlev2_rle": (
+        lambda v: rlev2_encode_runs(v, signed=True),
+        lambda b, n: rlev2_decode(b, n, signed=True),
+    ),
+    "rlev1": (lambda v: rlev1_encode(v, signed=True), lambda b, n: rlev1_decode(b, n, signed=True)),
+    "for": (for_encode, for_decode),
+    "bitpack": (bitpack_encode, bitpack_decode),
+    "dict": (dict_encode, dict_decode),
+    "raw": (raw_encode, raw_decode),
+}
+
+STR_CODECS = {
+    "str_direct": (
+        lambda a: string_direct_encode(a, use_fsst=False),
+        lambda b, n: string_direct_decode(b, n, use_fsst=False),
+    ),
+    "str_direct_fsst": (
+        lambda a: string_direct_encode(a, use_fsst=True),
+        lambda b, n: string_direct_decode(b, n, use_fsst=True),
+    ),
+    "str_dict": (
+        lambda a: string_dict_encode(a, use_fsst=False),
+        lambda b, n: string_dict_decode(b, n, use_fsst=False),
+    ),
+    "str_dict_fsst": (
+        lambda a: string_dict_encode(a, use_fsst=True),
+        lambda b, n: string_dict_decode(b, n, use_fsst=True),
+    ),
+}
+
+
+def int_stats(values: np.ndarray) -> dict:
+    """Sampled chunk statistics driving the choice."""
+    v = np.asarray(values, dtype=np.int64)
+    n = len(v)
+    s = v if n <= SAMPLE else v[:: max(1, n // SAMPLE)][:SAMPLE]
+    d = np.diff(s)
+    runs = int((d != 0).sum()) + 1 if len(s) > 1 else 1
+    uniq = np.unique(s)
+    zz_w = int(bit_lengths(zigzag_encode(s)).max(initial=1)) or 1
+    base = int(s.min()) if len(s) else 0
+    adj = s.astype(np.uint64) - np.int64(base).astype(np.uint64) if len(s) else s.astype(np.uint64)
+    adj_bls = bit_lengths(adj)
+    return {
+        "n": n,
+        "mean_run": len(s) / runs if runs else 1.0,
+        "distinct": len(uniq),
+        "distinct_ratio": len(uniq) / max(1, len(s)),
+        "monotonic": bool(len(d) == 0 or np.all(d >= 0) or np.all(d <= 0)),
+        "zz_width": zz_w,
+        "for_width": int(adj_bls.max(initial=1)) or 1,
+        "for_width_p90": int(np.percentile(adj_bls, 90)) if len(s) else 1,
+    }
+
+
+def estimate_sizes(st: dict) -> dict[str, float]:
+    """Rough bytes-per-codec from stats (headers amortized, 512-frames)."""
+    n = st["n"]
+    est = {
+        "raw": 1 + n * (4 if st["zz_width"] <= 32 else 8),
+        "bitpack": 1 + n * st["zz_width"] / 8,
+        "for": 12 + n * st["for_width"] / 8,
+        "rlev2": n * st["for_width_p90"] / 8 + (n / 512) * 16,
+        "rlev2_rle": (n / max(1.0, st["mean_run"])) * 4,
+        "dict": st["distinct"] * 4 + n * max(1, st["distinct"].bit_length()) / 8 + 8,
+    }
+    return est
+
+
+def choose_int_codec(values: np.ndarray) -> str:
+    v = np.asarray(values, dtype=np.int64)
+    if len(v) == 0:
+        return "raw"
+    st = int_stats(v)
+    if st["monotonic"] and st["n"] >= 8:
+        return "rlev2"
+    if st["mean_run"] >= 4:
+        return "rlev2_rle"
+    if st["distinct_ratio"] <= 0.05 and st["distinct"] <= 65536:
+        est = estimate_sizes(st)
+        if est["dict"] < min(est["for"], est["bitpack"], est["rlev2"]):
+            return "dict"
+    est = estimate_sizes(st)
+    return min(("for", "bitpack", "rlev2", "raw"), key=lambda k: est[k])
+
+
+def encode_ints_auto(values: np.ndarray) -> tuple[str, bytes]:
+    """Choose codec by stats, encode, fall back to raw if the estimate lied."""
+    codec = choose_int_codec(values)
+    enc = INT_CODECS[codec][0](values)
+    raw = INT_CODECS["raw"][0](values)
+    if len(raw) < len(enc):
+        return "raw", raw
+    return codec, enc
+
+
+def choose_string_codec(arr: pa.Array) -> str:
+    n = len(arr)
+    if n == 0:
+        return "str_direct"
+    sample = arr.slice(0, min(n, 4096))
+    distinct = len(sample.unique())
+    dict_wins = distinct / len(sample) <= 0.5
+    # FSST trial on a payload sample
+    try:
+        import orc_rs_spark.kernels.strings as S
+
+        _, payload = S.arrow_string_parts(sample.combine_chunks() if isinstance(sample, pa.ChunkedArray) else sample)
+    except (ValueError, TypeError):
+        payload = b""
+    probe = payload[:SAMPLE]
+    fsst_wins = len(probe) >= 256 and len(fsst_encode(probe, rounds=2)) < 0.9 * len(probe)
+    if dict_wins and fsst_wins:
+        return "str_dict_fsst"
+    if dict_wins:
+        return "str_dict"
+    if fsst_wins:
+        return "str_direct_fsst"
+    return "str_direct"
+
+
+def encode_strings_auto(arr: pa.Array) -> tuple[str, bytes]:
+    codec = choose_string_codec(arr)
+    return codec, STR_CODECS[codec][0](arr)

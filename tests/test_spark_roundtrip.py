@@ -1,0 +1,93 @@
+"""End-to-end distributed round-trip: encode -> chunk table -> decode ->
+bit-identity join (the north star's core invariant, BASELINE.json:15).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_rs_spark.chunk import decode_chunk, encode_chunk
+from orc_rs_spark.decoder import decode_table, verify_roundtrip
+from orc_rs_spark.encoder import encode_table
+from orc_rs_spark.fixtures import token_table, token_df
+
+
+# ------------------------------------------------------- local (no Spark)
+
+
+def test_chunk_roundtrip_local():
+    tbl = token_table(500, seed=42)
+    batch = tbl.to_batches()[0]
+    row = encode_chunk(batch, part_id=0)
+    out = decode_chunk(row)
+    assert out.column("doc_id").to_pylist() == batch.column("doc_id").to_pylist()
+    assert out.column("source").to_pylist() == batch.column("source").to_pylist()
+    assert out.column("n_tok").to_pylist() == batch.column("n_tok").to_pylist()
+    assert out.column("tokens").to_pylist() == batch.column("tokens").to_pylist()
+
+
+def test_chunk_compresses():
+    tbl = token_table(2000, seed=1)
+    batch = tbl.to_batches()[0]
+    row = encode_chunk(batch, part_id=0)
+    assert row["enc_bytes"] < row["orig_bytes"] / 2
+    assert row["n_rows"] == 2000
+    assert row["n_values"] == int(np.sum(batch.column("n_tok").to_numpy()))
+
+
+def test_chunk_id_deterministic():
+    tbl = token_table(300, seed=7)
+    b = tbl.to_batches()[0]
+    assert encode_chunk(b, 3)["chunk_id"] == encode_chunk(b, 3)["chunk_id"]
+    assert encode_chunk(b, 3)["chunk_id"] != encode_chunk(b, 4)["chunk_id"]
+
+
+def test_chunk_empty_tokens_rows():
+    # rows with empty token arrays must survive
+    tokens = pa.ListArray.from_arrays(
+        pa.array([0, 0, 3, 3], type=pa.int32()), pa.array([1, 2, 3], type=pa.int32())
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(["a", "b", "c"]),
+            tokens,
+            pa.array([0, 3, 0], type=pa.int32()),
+            pa.array(["web", "web", "code"]),
+        ],
+        names=["doc_id", "tokens", "n_tok", "source"],
+    )
+    out = decode_chunk(encode_chunk(batch, 0))
+    assert out.column("tokens").to_pylist() == [[], [1, 2, 3], []]
+
+
+# ------------------------------------------------------- distributed
+
+
+@pytest.mark.spark
+def test_spark_roundtrip_bit_identity(spark):
+    df = token_df(spark, 3000, seed=42, partitions=4)
+    chunks = encode_table(df, partitions=4)
+    chunks = chunks.cache()
+    n_chunks = chunks.count()
+    assert n_chunks >= 4
+    decoded = decode_table(chunks)
+    n, bad = verify_roundtrip(df, decoded)
+    assert n == 3000
+    assert bad == 0
+    chunks.unpersist()
+
+
+@pytest.mark.spark
+def test_spark_chunk_stats(spark):
+    df = token_df(spark, 1000, seed=3, partitions=2)
+    chunks = encode_table(df, partitions=2).cache()
+    from pyspark.sql import functions as F
+
+    agg = chunks.agg(
+        F.sum("n_rows").alias("rows"),
+        F.sum("enc_bytes").alias("enc"),
+        F.sum("orig_bytes").alias("orig"),
+    ).collect()[0]
+    assert agg["rows"] == 1000
+    assert agg["enc"] < agg["orig"]
+    chunks.unpersist()
