@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline encode/decode
+pipeline at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line.
+
+Headline metric: wall seconds of the benchmark suite (lower is better),
+with per-query breakdown plus the north-star metrics (encode tokens/sec,
+compressed ratio, bytes vs Spark's own ORC writer, round-trip identity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def dir_size(path: str) -> int:
+    out = subprocess.run(["du", "-sb", path], capture_output=True, text=True)
+    return int(out.stdout.split()[0])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    rows = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}.get(sf, 20_000)
+
+    from orc_rs_spark.session import get_spark
+    from orc_rs_spark.fixtures import token_table
+    from orc_rs_spark.encoder import encode_table
+    from orc_rs_spark.decoder import decode_table, verify_roundtrip
+    from orc_rs_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    cache_dir = f"/tmp/orc_rs_bench/tokens_sf{sf}_r{rows}"
+    work_dir = f"/tmp/orc_rs_bench/work_sf{sf}"
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="orc_rs_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(cache_dir):
+        tbl = token_table(rows, seed=42)
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache_dir, exist_ok=True)
+        pq.write_table(tbl, f"{cache_dir}/part-0.parquet")
+
+    timings: dict[str, float] = {}
+    df = spark.read.parquet(cache_dir)
+    n_values = int(df.agg(F.sum("n_tok")).collect()[0][0])
+
+    # q1: distributed encode (scan -> range partition -> encode -> sink)
+    t0 = time.time()
+    chunks = encode_table(df, partitions=int(cpus) if cpus.isdigit() else 32)
+    chunks.write.mode("overwrite").parquet(f"{work_dir}/chunks")
+    timings["q1_encode"] = time.time() - t0
+
+    chunks_on_disk = spark.read.parquet(f"{work_dir}/chunks")
+    agg = chunks_on_disk.agg(
+        F.sum("enc_bytes").alias("enc"), F.sum("orig_bytes").alias("orig")
+    ).collect()[0]
+    enc_bytes, orig_bytes = int(agg["enc"]), int(agg["orig"])
+
+    # q2: distributed decode
+    t0 = time.time()
+    decoded = decode_table(chunks_on_disk)
+    decoded.agg(F.sum("n_tok")).collect()
+    timings["q2_decode"] = time.time() - t0
+
+    # q3: bit-identity verification join
+    t0 = time.time()
+    n, bad = verify_roundtrip(df, decode_table(chunks_on_disk))
+    timings["q3_verify"] = time.time() - t0
+
+    # q4: Spark's own ORC writer (zlib) on identical rows — the size gate
+    t0 = time.time()
+    df.write.mode("overwrite").option("compression", "zlib").orc(f"{work_dir}/orc_zlib")
+    timings["q4_spark_orc_write"] = time.time() - t0
+    orc_bytes = dir_size(f"{work_dir}/orc_zlib")
+
+    # q5: oracle-style engine round-trip on the sf events table
+    t0 = time.time()
+    QUERIES["rt_engine_tokens"](spark, sf_dir).agg(F.sum("n_tok")).collect()
+    timings["q5_rt_engine_events"] = time.time() - t0
+
+    total = sum(timings.values())
+    result = {
+        "metric": "bench_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in sorted(timings.items())},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": rows,
+        "n_values": n_values,
+        "encode_tokens_per_sec": round(n_values / timings["q1_encode"]),
+        "decode_tokens_per_sec": round(n_values / timings["q2_decode"]),
+        "enc_bytes": enc_bytes,
+        "orig_bytes": orig_bytes,
+        "ratio": round(enc_bytes / max(1, orig_bytes), 4),
+        "spark_orc_zlib_bytes": orc_bytes,
+        "vs_orc": round(enc_bytes / max(1, orc_bytes), 4),
+        "roundtrip_rows": n,
+        "roundtrip_mismatches": bad,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

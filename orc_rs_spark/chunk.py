@@ -91,7 +91,9 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, block_codec: str = "zlib")
     # n_tok is derived (== lengths); encode lengths once and reuse on decode
     c_doc, s_doc = encode_strings_auto(doc_id)
     c_len, s_len = encode_ints_auto(lengths)
-    c_tok, s_tok = encode_ints_auto(flat)
+    # row-aligned RLEv2 frames: token regimes are per-document, so frames
+    # that respect row offsets stay homogeneous (~10% smaller than the grid)
+    c_tok, s_tok = encode_ints_auto(flat, boundaries=np.cumsum(lengths))
     c_src, s_src = encode_strings_auto(source)
     streams = []
     block_tags = []

@@ -43,13 +43,33 @@ def encode_table(
     if repartition:
         df = prepare_for_encode(df, partitions)
 
+    has_part_key = "part_key" in df.columns
+
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
         ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else -1
+        task_pid = ctx.partitionId() if ctx is not None else -1
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            row = encode_chunk(batch, pid, block_codec=block_codec)
-            yield pa.RecordBatch.from_pylist([row], schema=CHUNK_ARROW_SCHEMA)
+            if has_part_key:
+                # explicit bucket id (pipeline resume unit) rides along as
+                # the chunk's part_id — stable across cluster sizes. Range
+                # partitioning is approximate, so one Arrow batch may span
+                # bucket boundaries: split on them so every chunk is
+                # single-bucket (resume exactness depends on it).
+                keys = batch.column("part_key").to_numpy()
+                bounds = np.flatnonzero(np.diff(keys)) + 1
+                starts = np.concatenate(([0], bounds, [len(keys)]))
+                stripped = batch.drop_columns(["part_key"])
+                for s, e in zip(starts[:-1], starts[1:]):
+                    row = encode_chunk(
+                        stripped.slice(int(s), int(e - s)), int(keys[s]), block_codec=block_codec
+                    )
+                    yield pa.RecordBatch.from_pylist([row], schema=CHUNK_ARROW_SCHEMA)
+            else:
+                row = encode_chunk(batch, task_pid, block_codec=block_codec)
+                yield pa.RecordBatch.from_pylist([row], schema=CHUNK_ARROW_SCHEMA)
 
     return df.mapInArrow(encode_partition, CHUNK_DDL)

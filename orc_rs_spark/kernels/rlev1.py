@@ -84,7 +84,7 @@ def rlev1_decode(buf: bytes | np.ndarray, count: int, signed: bool = True) -> np
             n = h + 3
             delta = int.from_bytes(b[pos : pos + 1].tobytes(), "little", signed=True)
             pos += 1
-            u, used = varint_decode(b[pos:], 1)
+            u, used = varint_decode(b[pos : pos + 10], 1)
             pos += used
             base = int(_from_u(u, signed)[0])
             take = min(n, count - got)
@@ -92,7 +92,7 @@ def rlev1_decode(buf: bytes | np.ndarray, count: int, signed: bool = True) -> np
             got += n
         else:  # literals
             n = 256 - h
-            u, used = varint_decode(b[pos:], n)
+            u, used = varint_decode(b[pos : pos + 10 * n], n)
             pos += used
             take = min(n, count - got)
             out[got : got + take] = _from_u(u, signed)[:take]

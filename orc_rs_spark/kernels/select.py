@@ -127,12 +127,68 @@ def choose_int_codec(values: np.ndarray) -> str:
     return min(("for", "bitpack", "rlev2", "raw"), key=lambda k: est[k])
 
 
-def encode_ints_auto(values: np.ndarray) -> tuple[str, bytes]:
-    """Choose codec by stats, encode, fall back to raw if the estimate lied."""
-    codec = choose_int_codec(values)
-    enc = INT_CODECS[codec][0](values)
-    raw = INT_CODECS["raw"][0](values)
-    if len(raw) < len(enc):
+def _sample_slices(v: np.ndarray, k: int = 4, span: int = 16384) -> np.ndarray:
+    """k contiguous slices spread across the array (keeps run structure)."""
+    n = len(v)
+    if n <= k * span:
+        return v
+    starts = [(n - span) * i // (k - 1) for i in range(k)]
+    return np.concatenate([v[s : s + span] for s in starts])
+
+
+def _zprobe(data: bytes) -> int:
+    """Fast post-block-compression size probe (zlib level 1 as proxy)."""
+    import zlib
+
+    c = zlib.compressobj(1, zlib.DEFLATED, -15)
+    return min(len(data), len(c.compress(data) + c.flush()))
+
+
+def candidate_int_codecs(st: dict) -> list[str]:
+    cands = ["rlev2", "raw"]
+    if st["for_width"] < st["zz_width"]:
+        cands.append("for")
+    if st["zz_width"] < 32:
+        cands.append("bitpack")
+    if st["distinct_ratio"] <= 0.2 and st["distinct"] <= 65536:
+        cands.append("dict")
+    if st["mean_run"] >= 3:
+        cands.append("rlev2_rle")
+    return cands
+
+
+def encode_ints_auto(
+    values: np.ndarray, probe_block: bool = True, boundaries: np.ndarray | None = None
+) -> tuple[str, bytes]:
+    """Trial-based selection: encode a sample with each candidate codec,
+    measure its post-block-compression size, encode the full chunk with the
+    winner. Mirrors ORC's writer heuristics but with measured (not modeled)
+    costs — the estimator only prunes the candidate list.
+
+    ``boundaries`` (list-column row offsets) row-aligns RLEv2 frames — the
+    decode wire format is unchanged.
+    """
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return "raw", b""
+    st = int_stats(v)
+    cands = candidate_int_codecs(st)
+    sample = _sample_slices(v)
+    sizes: dict[str, int] = {}
+    for c in cands:
+        try:
+            enc = INT_CODECS[c][0](sample)
+        except (ValueError, OverflowError):
+            continue
+        sizes[c] = _zprobe(enc) if probe_block else len(enc)
+    codec = min(sizes, key=sizes.get)
+    if codec == "rlev2" and boundaries is not None:
+        enc = rlev2_encode(v, signed=True, boundaries=boundaries)
+    else:
+        enc = INT_CODECS[codec][0](v)
+    raw = INT_CODECS["raw"][0](v)
+    if len(raw) < len(enc) and (not probe_block or _zprobe(raw) <= sizes.get(codec, 1 << 62)):
         return "raw", raw
     return codec, enc
 

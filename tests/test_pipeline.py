@@ -1,0 +1,56 @@
+"""Checkpointed encode job: lineage, crash resume, partition-exactness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_rs_spark.decoder import decode_table, verify_roundtrip
+from orc_rs_spark.fixtures import token_df
+from orc_rs_spark.pipeline import done_buckets, encode_job
+
+
+@pytest.mark.spark
+def test_encode_job_with_crash_resume(spark, tmp_path):
+    chunks_dir = str(tmp_path / "chunks")
+    cp_dir = str(tmp_path / "checkpoint")
+    df = token_df(spark, 2000, seed=42, partitions=4).cache()
+    df.count()
+
+    # crash after the first wave
+    with pytest.raises(RuntimeError, match="injected failure"):
+        encode_job(spark, df, chunks_dir, cp_dir, n_buckets=8, wave_size=4, fail_after_waves=1)
+
+    done_first = done_buckets(spark, cp_dir)
+    assert len(done_first) == 4  # exactly one wave checkpointed
+
+    # resume: must encode only the remaining buckets
+    summary = encode_job(spark, df, chunks_dir, cp_dir, n_buckets=8, wave_size=4)
+    assert summary["buckets_skipped"] == 4
+    assert summary["buckets_encoded"] == 4
+
+    # every bucket done, no duplicates, full bit-identity
+    assert done_buckets(spark, cp_dir) == set(range(8))
+    chunks = spark.read.parquet(chunks_dir)
+    assert chunks.select("chunk_id").distinct().count() == chunks.count()
+    decoded = decode_table(chunks)
+    n, bad = verify_roundtrip(df, decoded)
+    assert n == 2000 and bad == 0
+
+    # lineage has per-bucket metrics
+    cp = spark.read.parquet(cp_dir)
+    row = cp.filter(F.col("n_rows") > 0).first()
+    assert row["enc_bytes"] > 0 and row["wall_ms"] >= 0 and len(row["chunk_ids"]) >= 1
+    df.unpersist()
+
+
+@pytest.mark.spark
+def test_encode_job_idempotent_rerun(spark, tmp_path):
+    chunks_dir = str(tmp_path / "chunks")
+    cp_dir = str(tmp_path / "checkpoint")
+    df = token_df(spark, 500, seed=1, partitions=2)
+    s1 = encode_job(spark, df, chunks_dir, cp_dir, n_buckets=4, wave_size=4)
+    assert s1["buckets_encoded"] == 4
+    n_chunks = spark.read.parquet(chunks_dir).count()
+    # rerun: everything checkpointed -> no new work, no new chunks
+    s2 = encode_job(spark, df, chunks_dir, cp_dir, n_buckets=4, wave_size=4)
+    assert s2["buckets_encoded"] == 0 and s2["waves"] == 0
+    assert spark.read.parquet(chunks_dir).count() == n_chunks
