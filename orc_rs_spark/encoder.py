@@ -25,9 +25,20 @@ from pyspark import TaskContext
 from orc_rs_spark.chunk import CHUNK_ARROW_SCHEMA, CHUNK_DDL, encode_chunk
 
 
-def prepare_for_encode(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Range-partition on (source, doc_id) to defuse source skew and make
-    chunk contents (and so chunk ids) deterministic under resume."""
+def prepare_for_encode(
+    df: DataFrame, partitions: int | None = None, mode: str = "range"
+) -> DataFrame:
+    """Skew-defusing partitioning ahead of the encode pass.
+
+    mode="range": range-partition on (source, doc_id) + sort — deterministic
+    chunk contents (resume/chunk-id stability), at the cost of a sampling
+    scan. mode="hash": hash-repartition on doc_id — uniform and
+    sampling-free (one scan less), for throughput-critical paths where the
+    checkpoint pipeline's explicit bucketing supplies determinism instead.
+    """
+    if mode == "hash":
+        rp = df.repartition(partitions, "doc_id") if partitions else df.repartition("doc_id")
+        return rp
     cols = [df["source"], df["doc_id"]]
     rp = df.repartitionByRange(partitions, *cols) if partitions else df.repartitionByRange(*cols)
     return rp.sortWithinPartitions("source", "doc_id")
@@ -38,10 +49,11 @@ def encode_table(
     block_codec: str = "zlib",
     repartition: bool = True,
     partitions: int | None = None,
+    partition_mode: str = "range",
 ) -> DataFrame:
     """(doc_id, tokens, n_tok, source) -> chunk table (CHUNK_DDL schema)."""
     if repartition:
-        df = prepare_for_encode(df, partitions)
+        df = prepare_for_encode(df, partitions, mode=partition_mode)
 
     has_part_key = "part_key" in df.columns
 

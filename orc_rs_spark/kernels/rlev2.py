@@ -127,13 +127,15 @@ def _emit_delta(
         out.append(bitpack(mags[1:], w))
 
 
-def _patched_candidate(
+def _patched_plan(
     n: int, base: int, adj: np.ndarray, bls: np.ndarray, w: int
-) -> list | None:
-    """Build the byte pieces of one patched-base run at main width ``w``.
+) -> tuple[int, tuple] | None:
+    """Size a patched-base run at main width ``w`` WITHOUT bit-packing.
 
-    Returns None when the patch constraints (PLL<=31, gap width<=8 bits,
-    w+pw<=64) can't be met at this width.
+    Returns (total_bytes, plan) or None when the patch constraints (PLL<=31,
+    gap width<=8 bits, w+pw<=64) can't be met. ``_patched_build`` turns the
+    plan into bytes — callers size several candidate widths cheaply and
+    build only the winner.
     """
     patch_idx = np.flatnonzero(bls > w)
     if len(patch_idx) > 31:
@@ -167,9 +169,16 @@ def _patched_candidate(
     pgw = max(1, max((int(x).bit_length() for x in gaps.tolist()), default=1))
     if pgw > 8:
         return None
+    bw = min(8, max(1, (abs(base).bit_length() + 1 + 7) // 8))
+    cw = closest_direct_width(pgw + pw)
+    size = 4 + bw + packed_size(n, w) + packed_size(pll, cw)
+    return size, (n, base, w, pw, pgw, pll, cw, gaps, patches)
+
+
+def _patched_build(plan: tuple, adj: np.ndarray) -> list:
+    n, base, w, pw, pgw, pll, cw, gaps, patches = plan
     base_bytes, bw = _encode_base(base)
     data = adj & ((_U64_ONE << np.uint64(w)) - _U64_ONE)
-    cw = closest_direct_width(pgw + pw)
     entries = (gaps << np.uint64(pw)) | patches
     return [
         bytes(
@@ -184,6 +193,13 @@ def _patched_candidate(
         bitpack(data, w),
         bitpack(entries, cw),
     ]
+
+
+def _patched_candidate(
+    n: int, base: int, adj: np.ndarray, bls: np.ndarray, w: int
+) -> list | None:
+    sized = _patched_plan(n, base, adj, bls, w)
+    return _patched_build(sized[1], adj) if sized else None
 
 
 def _try_patched(v: np.ndarray, out: list) -> bool:
@@ -348,6 +364,11 @@ def rlev2_encode(
     from orc_rs_spark.kernels.bitpack import DIRECT_WIDTH_TABLE
 
     dir_w = DIRECT_WIDTH_TABLE[np.searchsorted(DIRECT_WIDTH_TABLE, np.maximum(zz_w, 1))]
+    # direct frames are batched per width: padding every frame to a multiple
+    # of 8 values makes each frame's packed bytes byte-aligned and
+    # independent, so ONE bitpack call per distinct width replaces one call
+    # per frame (the per-call dispatch dominated encode time)
+    direct_groups: dict[int, list[tuple[int, int, int]]] = {}  # w -> [(out_idx, s, e)]
     for i in range(k):
         s, e = int(starts[i]), int(ends[i])
         L = e - s
@@ -369,20 +390,21 @@ def rlev2_encode(
         # frame is big enough that trimming outliers can pay for the header
         if L >= 8 and abs(int(mins[i])).bit_length() + 1 <= 64:
             seg_bls = abls[s:e]
-            w90c = closest_direct_width(max(1, int(np.percentile(seg_bls, 90)))) if wfc >= 4 else wfc
+            if wfc >= 4:
+                qi = (9 * (L - 1)) // 10  # 90th-percentile order statistic
+                w90c = closest_direct_width(max(1, int(np.partition(seg_bls, qi)[qi])))
+            else:
+                w90c = wfc
             est_patched = 4 + 9 + packed_size(L, min(w90c, wfc)) + (31 * 5 if w90c < wfc else 0)
             if est_patched < cost_direct:
-                widths = {w90c, wfc}
-                best = None
+                best_plan = None
                 best_size = cost_direct
-                for w in widths:
-                    cand = _patched_candidate(L, int(mins[i]), adj_all[s:e], seg_bls, w)
-                    if cand is not None:
-                        size = sum(len(p) for p in cand)
-                        if size < best_size:
-                            best, best_size = cand, size
-                if best is not None:
-                    out.extend(best)
+                for w in {w90c, wfc}:
+                    sized = _patched_plan(L, int(mins[i]), adj_all[s:e], seg_bls, w)
+                    if sized is not None and sized[0] < best_size:
+                        best_size, best_plan = sized
+                if best_plan is not None:
+                    out.extend(_patched_build(best_plan, adj_all[s:e]))
                     continue
         out.append(
             bytes(
@@ -392,7 +414,22 @@ def rlev2_encode(
                 ]
             )
         )
-        out.append(bitpack(u_all[s:e], w_direct))
+        out.append(b"")  # placeholder, filled by the per-width batch pack
+        direct_groups.setdefault(w_direct, []).append((len(out) - 1, s, e))
+    for w, frames in direct_groups.items():
+        padded_total = sum((e - s + 7) // 8 * 8 for _, s, e in frames)
+        buf = np.zeros(padded_total, dtype=np.uint64)
+        pos = 0
+        for _, s, e in frames:
+            buf[pos : pos + (e - s)] = u_all[s:e]
+            pos += (e - s + 7) // 8 * 8
+        packed = bitpack(buf, w)
+        off = 0
+        for out_idx, s, e in frames:
+            L = e - s
+            nb = packed_size(L, w)
+            out[out_idx] = packed[off : off + nb]
+            off += (L + 7) // 8 * 8 * w // 8
     return b"".join(out)
 
 

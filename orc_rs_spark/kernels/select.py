@@ -187,9 +187,12 @@ def encode_ints_auto(
         enc = rlev2_encode(v, signed=True, boundaries=boundaries)
     else:
         enc = INT_CODECS[codec][0](v)
-    raw = INT_CODECS["raw"][0](v)
-    if len(raw) < len(enc) and (not probe_block or _zprobe(raw) <= sizes.get(codec, 1 << 62)):
-        return "raw", raw
+    # raw safety fallback only when the winner isn't clearly smaller (skips
+    # a full extra array pass on well-compressed chunks)
+    if len(enc) > 3.6 * n:
+        raw = INT_CODECS["raw"][0](v)
+        if len(raw) < len(enc):
+            return "raw", raw
     return codec, enc
 
 

@@ -172,3 +172,162 @@ for _name, _table, _col, _codec in _STR_CODEC_QUERIES:
         return q
 
     register(_name, f"SELECT {_col} FROM {_table}")(_mks(_table, _col, _codec))
+
+
+# ================================================================ textops
+# training-data pipeline operators (dedup / similarity / text analysis);
+# oracles are exact SQL equivalents where the semantics are SQL-expressible
+
+from orc_rs_spark.textops.dedup import (  # noqa: E402
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from orc_rs_spark.textops.similarity import ann_topk_lsh, cosine_topk  # noqa: E402
+from orc_rs_spark.textops.textstats import (  # noqa: E402
+    fingerprints,
+    langid,
+    quality_score,
+    text_stats,
+    token_counts,
+)
+
+_JACCARD_ORACLE = """
+WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT co.d1 AS d1, co.d2 AS d2
+FROM co JOIN sz s1 ON co.d1 = s1.doc_id JOIN sz s2 ON co.d2 = s2.doc_id
+WHERE c::DOUBLE / (s1.n + s2.n - c) >= 0.9
+"""
+
+
+@register(
+    "dedup_exact",
+    "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, md5(text) AS text_md5, "
+    "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_pq(spark, sf_dir, "documents"))
+
+
+@register("dedup_jaccard_exact", _JACCARD_ORACLE)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_pq(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@register("dedup_minhash_lsh", _JACCARD_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact verification == the exact pair set (recall
+    ~1-1e-23 at J>=0.9 with 32x2 bands), so the exact SQL is its oracle."""
+    return minhash_lsh_pairs(_pq(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@register("dedup_simhash", None)  # bit-level heuristic: rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_pq(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    "SELECT a.vec_id AS v1, b.vec_id AS v2 FROM embeddings a JOIN embeddings b "
+    "ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dup_pairs(_pq(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _pq(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    SELECT e.vec_id AS vec_id FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+    WHERE e.vec_id != 0
+    ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _pq(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
+
+
+@register("ann_topk_lsh", None)  # approximate by design: rows-only check
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _pq(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(list_filter(string_split(text, ' '), w -> w != '')) AS BIGINT) AS n_words,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS BIGINT) AS n_stopwords_en
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_pq(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w != '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_pq(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    "SELECT doc_id, md5(text) AS md5, "
+    "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60 FROM documents",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_pq(spark, sf_dir, "documents"))
+
+
+@register("quality_score", None)  # heuristic; validated in pytest, rows-only here
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_pq(spark, sf_dir, "documents"))
+
+
+@register("langid", None)  # heuristic; validated in pytest, rows-only here
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return langid(_pq(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_meta",
+    "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum FROM documents",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rs_spark.textops.multimodal import attach_media
+
+    media = attach_media(_pq(spark, sf_dir, "documents"))
+    return media.select("doc_id", "n_bytes", "checksum")
+
+
+@register("multimodal_features", None)  # decode is stubbed: rows-only check
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rs_spark.textops.multimodal import attach_media, extract_features
+
+    return extract_features(attach_media(_pq(spark, sf_dir, "documents")))

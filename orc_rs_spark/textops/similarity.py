@@ -1,0 +1,103 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: exact baseline, JVM-side zip_with/aggregate dot
+  products; at scale, a broadcast of the query vector + one full scan.
+- LSH-bucketed ANN: random-hyperplane signatures (NumPy inside mapInArrow),
+  candidates restricted to the query's bucket (Hamming-0) with a
+  multi-probe fallback; the scale path — the scan prunes to ~1/2^bits of
+  the corpus per probe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(l, r):  # noqa: E741
+    return F.aggregate(
+        F.zip_with(l, r, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine to ``query_vec`` (ties broken by vec_id).
+
+    Zero-norm rows (and a zero-norm query) get NULL cosine via try_divide
+    and sort last instead of raising ANSI DIVIDE_BY_ZERO.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
+    e = embeddings.select(
+        "vec_id",
+        F.try_divide(
+            _dot(F.col("embedding"), q),
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm),
+        ).alias("cos"),
+    )
+    return e.orderBy(F.col("cos").desc_nulls_last(), F.col("vec_id")).limit(k).select("vec_id")
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame, bits: int = 16, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """Sign-of-projection LSH signature per vector (NumPy batch matmul)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits)).astype(np.float64)
+
+    def sign_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            emb = b.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(b.num_rows, dim)
+            bits_m = (mat @ planes) > 0
+            sig = (bits_m.astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(sig.astype(np.int64))], names=["vec_id", "sig"]
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(sign_batches, "vec_id bigint, sig bigint")
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """ANN: exact top-k within the query's LSH bucket plus all buckets at
+    Hamming distance <= 2 (multi-probe). Approximate by design; tested for
+    recall against cosine_topk, not oracle-matched.
+
+    ``bits`` defaults adaptively to ~log2(n/64): on weakly-correlated
+    corpora, signatures finer than the corpus size send every true neighbor
+    to its own bucket and recall collapses (measured recall@10 = 0 with 8
+    bits over 500 random vectors).
+    """
+    if bits is None:
+        n = n_hint if n_hint is not None else embeddings.count()
+        bits = max(2, min(16, int(np.log2(max(2, n / 64)))))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits)).astype(np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsig = int(((q @ planes) > 0).astype(np.uint64) @ (1 << np.arange(bits, dtype=np.uint64)))
+    probes = {qsig}
+    for i in range(bits):
+        probes.add(qsig ^ (1 << i))
+        for j in range(i + 1, bits):
+            probes.add(qsig ^ (1 << i) ^ (1 << j))
+    sigs = hyperplane_signatures(embeddings, bits=bits, dim=dim, seed=seed)
+    cand = sigs.where(F.col("sig").isin([int(p) for p in probes])).select("vec_id")
+    sub = embeddings.join(F.broadcast(cand), "vec_id")
+    return cosine_topk(sub, query_vec, k)

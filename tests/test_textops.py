@@ -1,0 +1,129 @@
+"""Training-data ops: dedup, similarity, text stats, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SEED = np.random.default_rng(7)
+
+
+def _docs_with_dups(spark):
+    """20 base docs + near-duplicates (1-word edits) + exact copies."""
+    base = [
+        " ".join(SEED.choice(list("abcdefghijklmnop"), 30).tolist()) for _ in range(20)
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    # near-dups of docs 0..4: change one word out of 30 (J ~ 29/31 ~ 0.935)
+    for i in range(5):
+        words = base[i].split(" ")
+        words[0] = "zzz"
+        rows.append((100 + i, " ".join(words)))
+    # exact copies of docs 5,6
+    rows.append((200, base[5]))
+    rows.append((201, base[6]))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.mark.spark
+def test_exact_dedup(spark):
+    from orc_rs_spark.textops.dedup import exact_dedup
+
+    docs = _docs_with_dups(spark)
+    out = exact_dedup(docs)
+    # 27 rows, 25 distinct texts (two exact copies collapse)
+    assert out.count() == 25
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == 27
+
+
+@pytest.mark.spark
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    from orc_rs_spark.textops.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    docs = _docs_with_dups(spark)
+    exact = {tuple(r) for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert exact == lsh
+    # the near-dup pairs must be found
+    assert (0, 100) in exact or (100, 0) in exact
+
+
+@pytest.mark.spark
+def test_simhash_near_dups_close(spark):
+    from orc_rs_spark.textops.dedup import simhash
+
+    docs = _docs_with_dups(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    # near-dup should be far closer than a random pair
+    near = ham(sigs[0], sigs[100])
+    far = np.median([ham(sigs[0], sigs[i]) for i in range(1, 20)])
+    assert near < far
+    # exact copies -> identical signature
+    assert sigs[5] == sigs[200]
+
+
+@pytest.mark.spark
+def test_embedding_dup_pairs_and_topk(spark):
+    from orc_rs_spark.textops.dedup import embedding_dup_pairs
+    from orc_rs_spark.textops.similarity import ann_topk_lsh, cosine_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 64)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(64).astype(np.float32)  # near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    pairs = embedding_dup_pairs(emb, threshold=0.99).collect()
+    assert [(r["v1"], r["v2"]) for r in pairs] == [(3, 7)]
+
+    q = [float(x) for x in vecs[3]]
+    exact = [r["vec_id"] for r in cosine_topk(emb.where(F.col("vec_id") != 3), q, k=5).collect()]
+    assert exact[0] == 7  # the near-dup is rank 1
+    ann = [r["vec_id"] for r in ann_topk_lsh(emb.where(F.col("vec_id") != 3), q, k=5, bits=8).collect()]
+    assert 7 in ann  # LSH with multi-probe must recall the near-dup
+
+
+@pytest.mark.spark
+def test_text_stats_and_quality(spark):
+    from orc_rs_spark.textops.textstats import langid, quality_score, text_stats, token_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat. it is a good mat, truly!"),
+            (2, "x" * 20000),
+            (3, "der hund ist nicht ein katze und das ist gut"),
+            (4, "1234 5678 9!!!"),
+        ],
+        "doc_id bigint, text string",
+    )
+    st = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert st[1]["n_words"] == 12
+    assert st[1]["n_punct"] == 3  # two periods (. after mat and ,) + !
+    assert st[4]["n_digits"] == 9
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert q[1] > q[2] and q[1] > q[4]
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[1]["n_bpe_tokens"] > tc[1]["n_ws_tokens"]  # punct split out
+    lid = {r["doc_id"]: r["pred_lang"] for r in langid(docs).collect()}
+    assert lid[1] == "en" and lid[3] == "de"
+
+
+@pytest.mark.spark
+def test_multimodal_plumbing(spark):
+    from orc_rs_spark.textops.multimodal import attach_media, extract_features
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc here")], "doc_id bigint, text string"
+    )
+    media = attach_media(docs)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert rows[1]["n_bytes"] == len(b"hello world")
+    assert bytes(rows[1]["payload"]) == b"hello world"
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert len(feats[1]["feature"]) == 16
+    assert 8 <= feats[1]["width"] <= 15
+    # deterministic across runs
+    feats2 = {r["doc_id"]: r for r in extract_features(attach_media(docs)).collect()}
+    assert feats[1]["feature"] == feats2[1]["feature"]
