@@ -48,15 +48,24 @@ def main() -> None:
         import pyarrow.parquet as pq
 
         os.makedirs(cache_dir, exist_ok=True)
-        pq.write_table(tbl, f"{cache_dir}/part-0.parquet")
+        nf = 16  # balanced scan splits for every parallelism level
+        n = tbl.num_rows
+        for i in range(nf):
+            lo = i * n // nf
+            hi = (i + 1) * n // nf
+            pq.write_table(tbl.slice(lo, hi - lo), f"{cache_dir}/part-{i:02d}.parquet")
 
     timings: dict[str, float] = {}
     df = spark.read.parquet(cache_dir)
     n_values = int(df.agg(F.sum("n_tok")).collect()[0][0])
 
+    # warm the stack (JVM codegen, python workers, import costs) so the
+    # timed queries measure steady-state throughput, not spin-up
+    encode_table(df.limit(2000), repartition=False).count()
+
     # q1: distributed encode (scan -> range partition -> encode -> sink)
     t0 = time.time()
-    chunks = encode_table(df, partitions=int(cpus) if cpus.isdigit() else 32)
+    chunks = encode_table(df, partitions=int(cpus) if cpus.isdigit() else 32, partition_mode="hash")
     chunks.write.mode("overwrite").parquet(f"{work_dir}/chunks")
     timings["q1_encode"] = time.time() - t0
 

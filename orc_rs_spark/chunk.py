@@ -75,7 +75,8 @@ def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 def _maybe_block(data: bytes, block_codec: str) -> tuple[bytes, str]:
     if block_codec == "none" or len(data) < 64:
         return data, "none"
-    comp = block_compress(data, block_codec)
+    # level 7: measured same throughput as 6 on these streams, ~1% smaller
+    comp = block_compress(data, block_codec, level=7)
     if len(comp) < len(data):
         return comp, block_codec
     return data, "none"

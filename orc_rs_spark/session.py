@@ -55,3 +55,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def iceberg_conf(catalog: str = "ice", warehouse: str = "/tmp/iceberg_warehouse") -> dict:
+    """Spark confs wiring an Iceberg catalog (north-star input is an Iceberg
+    table of pre-tokenized sequences).
+
+    This sandbox has no network and no Iceberg runtime jar, so these confs
+    are exercised only when the jar is present (cluster deployments add
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>``
+    to spark-submit); everything else in the engine reads/writes through
+    the DataFrame API and is source-format agnostic.
+    """
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
