@@ -28,7 +28,15 @@ import numpy as np
 import pyarrow as pa
 
 from orc_rs_spark.kernels.blockcomp import block_compress, block_decompress
+from orc_rs_spark.kernels.byte_rle import boolean_rle_decode, boolean_rle_encode
 from orc_rs_spark.kernels.select import INT_CODECS, STR_CODECS, encode_ints_auto, encode_strings_auto
+from orc_rs_spark.kernels.varint import varint_decode, varint_encode
+
+
+def _uvarint(x: int) -> bytes:
+    import numpy as _np
+
+    return varint_encode(_np.array([x], dtype=_np.uint64))
 
 CODEC_VERSION = "1"
 
@@ -72,6 +80,46 @@ def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return np.diff(offsets), flat
 
 
+def _validity(arr: pa.Array) -> np.ndarray | None:
+    """Validity bitmap as bool array, or None when there are no nulls."""
+    if arr.null_count == 0:
+        return None
+    return ~np.asarray(arr.is_null().to_numpy(zero_copy_only=False))
+
+
+def _wrap_present(present: np.ndarray | None, payload: bytes) -> bytes:
+    """PRESENT-stream framing: varint(len(present_rle)) + present + payload.
+
+    Mirrors the reference's GenericReader protocol — DATA streams carry only
+    the non-null values; the PRESENT bitmap (boolean RLE, C2) demultiplexes
+    (/root/reference/src/column_reader/mod.rs:339-377, and :344-351 for the
+    no-placeholders rule). present=None -> length 0 -> all-valid.
+    """
+    if present is None:
+        return _uvarint(0) + payload
+    pb = boolean_rle_encode(present)
+    return _uvarint(len(pb)) + pb + payload
+
+
+def _unwrap_present(buf: bytes, n_rows: int) -> tuple[np.ndarray | None, bytes]:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    hdr, used = varint_decode(b[:10], 1)
+    plen = int(hdr[0])
+    if plen == 0:
+        return None, buf[used:]
+    present = boolean_rle_decode(b[used : used + plen], n_rows)
+    return present, buf[used + plen :]
+
+
+def _scatter(dense: pa.Array, present: np.ndarray | None) -> pa.Array:
+    """Expand a dense (non-null-only) array back to full length with nulls."""
+    if present is None:
+        return dense
+    idx = np.full(len(present), -1, dtype=np.int64)
+    idx[present] = np.arange(len(dense))
+    return dense.take(pa.array(idx, mask=~present))
+
+
 def _maybe_block(data: bytes, block_codec: str) -> tuple[bytes, str]:
     if block_codec == "none" or len(data) < 64:
         return data, "none"
@@ -88,18 +136,31 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, block_codec: str = "zlib")
     tokens = batch.column("tokens")
     source = batch.column("source")
     n_rows = batch.num_rows
-    lengths, flat = _list_parts(tokens)
+    if doc_id.null_count:
+        raise ValueError("doc_id is the row identity and must be non-null")
+    # PRESENT bitmaps (GenericReader pattern): DATA streams hold only
+    # non-null values; null rows are re-expanded at decode
+    tok_present = _validity(tokens)
+    src_present = _validity(source)
+    dense_tokens = tokens.drop_null() if tok_present is not None else tokens
+    dense_source = source.drop_null() if src_present is not None else source
+    lengths, flat = _list_parts(dense_tokens)
     # n_tok is derived (== lengths); encode lengths once and reuse on decode
     c_doc, s_doc = encode_strings_auto(doc_id)
     c_len, s_len = encode_ints_auto(lengths)
     # row-aligned RLEv2 frames: token regimes are per-document, so frames
     # that respect row offsets stay homogeneous (~10% smaller than the grid)
     c_tok, s_tok = encode_ints_auto(flat, boundaries=np.cumsum(lengths))
-    c_src, s_src = encode_strings_auto(source)
+    c_src, s_src = encode_strings_auto(dense_source)
     streams = []
     block_tags = []
-    for raw in (s_doc, s_len, s_tok, s_src):
-        comp, tag = _maybe_block(raw, block_codec)
+    for raw, present in (
+        (s_doc, None),
+        (s_len, tok_present),
+        (s_tok, None),  # tokens DATA shares the n_tok stream's PRESENT
+        (s_src, src_present),
+    ):
+        comp, tag = _maybe_block(_wrap_present(present, raw), block_codec)
         streams.append(comp)
         block_tags.append(tag)
     data = b"".join(streams)
@@ -147,15 +208,22 @@ def decode_chunk(row: dict) -> pa.RecordBatch:
         parts.append(data[pos : pos + int(ln)])
         pos += int(ln)
     raws = [block_decompress(p, t) if t != "none" else p for p, t in zip(parts, block_tags)]
-    doc_id = STR_CODECS[codecs[0]][1](raws[0], n_rows)
-    lengths = INT_CODECS[codecs[1]][1](raws[1], n_rows)
-    flat = INT_CODECS[codecs[2]][1](raws[2], n_values)
-    source = STR_CODECS[codecs[3]][1](raws[3], n_rows)
+    unwrapped = [_unwrap_present(r, n_rows) for r in raws]
+    doc_id = STR_CODECS[codecs[0]][1](unwrapped[0][1], n_rows)
+    tok_present = unwrapped[1][0]
+    n_dense = int(tok_present.sum()) if tok_present is not None else n_rows
+    lengths = INT_CODECS[codecs[1]][1](unwrapped[1][1], n_dense)
+    flat = INT_CODECS[codecs[2]][1](unwrapped[2][1], n_values)
+    src_present = unwrapped[3][0]
+    n_src = int(src_present.sum()) if src_present is not None else n_rows
+    source = _scatter(STR_CODECS[codecs[3]][1](unwrapped[3][1], n_src), src_present)
     offsets64 = np.concatenate(([0], np.cumsum(lengths)))
-    tokens = pa.ListArray.from_arrays(
+    dense_tokens = pa.ListArray.from_arrays(
         pa.array(offsets64.astype(np.int32)), pa.array(flat.astype(np.int32))
     )
+    tokens = _scatter(dense_tokens, tok_present)
+    n_tok = _scatter(pa.array(lengths.astype(np.int32)), tok_present)
     return pa.RecordBatch.from_arrays(
-        [doc_id, tokens, pa.array(lengths.astype(np.int32)), source],
+        [doc_id, tokens, n_tok, source],
         names=["doc_id", "tokens", "n_tok", "source"],
     )

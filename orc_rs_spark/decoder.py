@@ -36,20 +36,28 @@ def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> tuple[int, int]
     (/root/reference/src/encoding/rlev1.rs:826-867) at distributed scale.
     """
     o = original.select(
-        F.col("doc_id"), F.col("tokens").alias("o_tokens"), F.col("n_tok").alias("o_n_tok")
+        F.col("doc_id"),
+        F.col("tokens").alias("o_tokens"),
+        F.col("n_tok").alias("o_n_tok"),
+        F.lit(1).alias("o_present"),
     )
     d = decoded.select(
-        F.col("doc_id"), F.col("tokens").alias("d_tokens"), F.col("n_tok").alias("d_n_tok")
+        F.col("doc_id"),
+        F.col("tokens").alias("d_tokens"),
+        F.col("n_tok").alias("d_n_tok"),
+        F.lit(1).alias("d_present"),
     )
     j = o.join(d, "doc_id", "full_outer")
+    # null-safe equality: legitimately-null token arrays compare equal;
+    # rows missing from either side (presence marker null) are mismatches
     agg = j.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.when(
-                F.col("o_tokens").isNull()
-                | F.col("d_tokens").isNull()
-                | (F.col("o_n_tok") != F.col("d_n_tok"))
-                | (F.col("o_tokens") != F.col("d_tokens")),
+                F.col("o_present").isNull()
+                | F.col("d_present").isNull()
+                | ~F.col("o_tokens").eqNullSafe(F.col("d_tokens"))
+                | ~F.col("o_n_tok").eqNullSafe(F.col("d_n_tok")),
                 1,
             ).otherwise(0)
         ).alias("bad"),

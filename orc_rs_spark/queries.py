@@ -331,3 +331,96 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rs_spark.textops.multimodal import attach_media, extract_features
 
     return extract_features(attach_media(_pq(spark, sf_dir, "documents")))
+
+
+# ==================================================== typed column codecs
+# parity with the reference's reader matrix beyond ints/strings: floats
+# (R4: raw LE IEEE754 + our BSS extension), booleans (R1: boolean RLE),
+# timestamps/dates (R6/R7: integer epochs through RLEv2)
+
+from orc_rs_spark.kernels.byte_rle import boolean_rle_decode, boolean_rle_encode  # noqa: E402
+from orc_rs_spark.kernels.floats import float_decode, float_encode  # noqa: E402
+from orc_rs_spark.kernels.rlev2 import rlev2_decode, rlev2_encode  # noqa: E402
+
+
+@register("rt_float_raw", "SELECT value FROM events")
+def rt_float_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def rt(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            v = b.column(0).to_numpy(zero_copy_only=False)
+            dec = float_decode(float_encode(v, mode=0), len(v))
+            yield pa.RecordBatch.from_arrays([pa.array(dec)], names=["value"])
+
+    return _pq(spark, sf_dir, "events").select("value").mapInArrow(rt, "value double")
+
+
+@register("rt_float_bss", "SELECT l_extendedprice FROM lineitem")
+def rt_float_bss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def rt(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            v = b.column(0).to_numpy(zero_copy_only=False)
+            dec = float_decode(float_encode(v, mode=1), len(v))
+            yield pa.RecordBatch.from_arrays([pa.array(dec)], names=["l_extendedprice"])
+
+    return (
+        _pq(spark, sf_dir, "lineitem").select("l_extendedprice").mapInArrow(rt, "l_extendedprice double")
+    )
+
+
+@register(
+    "rt_boolean_rle",
+    "SELECT (l_returnflag = 'R') AS is_return FROM lineitem",
+)
+def rt_boolean_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def rt(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            v = b.column(0).to_numpy(zero_copy_only=False).astype(bool)
+            dec = boolean_rle_decode(boolean_rle_encode(v), len(v))
+            yield pa.RecordBatch.from_arrays([pa.array(dec)], names=["is_return"])
+
+    df = _pq(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").alias("is_return")
+    )
+    return df.mapInArrow(rt, "is_return boolean")
+
+
+@register("rt_timestamp", "SELECT ts FROM events")
+def rt_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 pattern: timestamps as integer epochs through RLEv2 (micros;
+    near-sorted event times delta-compress well)."""
+
+    def rt(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            arr = b.column(0)
+            v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            dec = rlev2_decode(rlev2_encode(v, signed=True), len(v), signed=True)
+            out = pa.array(dec).cast(arr.type)
+            yield pa.RecordBatch.from_arrays([out], names=["ts"])
+
+    return _pq(spark, sf_dir, "events").select("ts").mapInArrow(rt, "ts timestamp")
+
+
+@register("rt_date", "SELECT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem")
+def rt_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 pattern: dates as day counts through RLEv2."""
+
+    def rt(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            arr = b.column(0)
+            v = arr.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+            dec = rlev2_decode(rlev2_encode(v, signed=True), len(v), signed=True)
+            out = pa.array(dec.astype(np.int32)).cast(pa.date32())
+            yield pa.RecordBatch.from_arrays([out], names=["ship_date"])
+
+    df = _pq(spark, sf_dir, "lineitem").select(F.col("l_shipdate").cast("date").alias("ship_date"))
+    return df.mapInArrow(rt, "ship_date date")

@@ -91,3 +91,34 @@ def test_spark_chunk_stats(spark):
     assert agg["rows"] == 1000
     assert agg["enc"] < agg["orig"]
     chunks.unpersist()
+
+
+def test_chunk_nullable_roundtrip():
+    tokens = pa.array([[1, 2, 3], None, [], [7]], type=pa.list_(pa.int32()))
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(["a", "b", "c", "d"]),
+            tokens,
+            pa.array([3, None, 0, 1], type=pa.int32()),
+            pa.array(["web", None, "code", None]),
+        ],
+        names=["doc_id", "tokens", "n_tok", "source"],
+    )
+    out = decode_chunk(encode_chunk(batch, 0))
+    assert out.column("tokens").to_pylist() == [[1, 2, 3], None, [], [7]]
+    assert out.column("source").to_pylist() == ["web", None, "code", None]
+    assert out.column("n_tok").to_pylist() == [3, None, 0, 1]
+
+
+@pytest.mark.spark
+def test_spark_roundtrip_with_nulls(spark):
+    rows = [
+        ("a", [1, 2], 2, "web"),
+        ("b", None, None, None),
+        ("c", [], 0, "code"),
+    ] * 50
+    rows = [(f"{r[0]}{i}", *r[1:]) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    chunks = encode_table(df, partitions=2)
+    n, bad = verify_roundtrip(df, decode_table(chunks))
+    assert n == 150 and bad == 0
