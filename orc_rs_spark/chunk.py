@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from orc_rs_spark.kernels.blockcomp import block_compress, block_decompress
+from orc_rs_spark.kernels.bloom import bloom_build
 from orc_rs_spark.kernels.byte_rle import boolean_rle_decode, boolean_rle_encode
 from orc_rs_spark.kernels.select import INT_CODECS, STR_CODECS, encode_ints_auto, encode_strings_auto
 from orc_rs_spark.kernels.varint import varint_decode, varint_encode
@@ -46,7 +47,7 @@ STREAMS = ("doc_id", "n_tok", "tokens", "source")
 CHUNK_DDL = (
     "chunk_id string, part_id int, source string, codec string, "
     "block_codec string, n_rows bigint, n_values bigint, "
-    "stream_lengths array<bigint>, data binary, "
+    "stream_lengths array<bigint>, data binary, bloom binary, "
     "orig_bytes bigint, enc_bytes bigint, min_val bigint, max_val bigint"
 )
 
@@ -61,6 +62,7 @@ CHUNK_ARROW_SCHEMA = pa.schema(
         ("n_values", pa.int64()),
         ("stream_lengths", pa.list_(pa.int64())),
         ("data", pa.binary()),
+        ("bloom", pa.binary()),
         ("orig_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
         ("min_val", pa.int64()),
@@ -187,6 +189,7 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, block_codec: str = "zlib")
         "n_values": int(lengths.sum()),
         "stream_lengths": [len(s) for s in streams],
         "data": data,
+        "bloom": bloom_build(flat) if len(flat) else b"\x01",
         "orig_bytes": int(orig_bytes),
         "enc_bytes": len(data),
         "min_val": int(flat.min()) if len(flat) else 0,

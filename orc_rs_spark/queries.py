@@ -424,3 +424,17 @@ def rt_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _pq(spark, sf_dir, "lineitem").select(F.col("l_shipdate").cast("date").alias("ship_date"))
     return df.mapInArrow(rt, "ship_date date")
+
+
+@register(
+    "token_search_pruned",
+    "SELECT doc_id, n_tok FROM (" + TOKEN_TABLE_SQL + ") t WHERE list_contains(tokens, 4242)",
+)
+def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-pruned point lookup: min/max stats + Bloom filter skip chunks
+    before any decode (the reference's unused-index TODO, made real)."""
+    from orc_rs_spark.decoder import search_token
+
+    df = token_table_from_events(spark, sf_dir)
+    chunks = encode_table(df, partitions=4)
+    return search_token(chunks, 4242).select("doc_id", "n_tok")
