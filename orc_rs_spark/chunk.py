@@ -29,6 +29,23 @@ import pyarrow as pa
 
 from orc_rs_spark.kernels.blockcomp import block_compress, block_decompress
 from orc_rs_spark.kernels.bloom import bloom_build
+
+
+def _maybe_bloom(flat, max_distinct: int = 1 << 16):
+    """Bloom filters pay only on low-distinct chunks: at ~10 bits per
+    distinct value a mostly-unique 1M-token chunk would spend >30% of its
+    encoded size on the filter (Spark's ORC writer also defaults bloom
+    off). Empty bytes = no filter = 'must decode unless min/max prunes'."""
+    import numpy as np
+
+    if len(flat) == 0:
+        return b""
+    sample = flat[:: max(1, len(flat) // 4096)][:4096]
+    if len(np.unique(sample)) / len(sample) > 0.5 and len(flat) > max_distinct:
+        return b""
+    u = np.unique(flat)
+    return bloom_build(u) if len(u) <= max_distinct else b""
+
 from orc_rs_spark.kernels.byte_rle import boolean_rle_decode, boolean_rle_encode
 from orc_rs_spark.kernels.select import INT_CODECS, STR_CODECS, encode_ints_auto, encode_strings_auto
 from orc_rs_spark.kernels.varint import varint_decode, varint_encode
@@ -132,7 +149,9 @@ def _maybe_block(data: bytes, block_codec: str) -> tuple[bytes, str]:
     return data, "none"
 
 
-def encode_chunk(batch: pa.RecordBatch, part_id: int, block_codec: str = "zlib") -> dict:
+def encode_chunk(
+    batch: pa.RecordBatch, part_id: int, block_codec: str = "zlib", build_bloom: bool = False
+) -> dict:
     """One RecordBatch of (doc_id, tokens, n_tok, source) -> one chunk row."""
     doc_id = batch.column("doc_id")
     tokens = batch.column("tokens")
@@ -189,7 +208,7 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, block_codec: str = "zlib")
         "n_values": int(lengths.sum()),
         "stream_lengths": [len(s) for s in streams],
         "data": data,
-        "bloom": bloom_build(flat) if len(flat) else b"\x01",
+        "bloom": _maybe_bloom(flat) if build_bloom else b"",
         "orig_bytes": int(orig_bytes),
         "enc_bytes": len(data),
         "min_val": int(flat.min()) if len(flat) else 0,

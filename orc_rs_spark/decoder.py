@@ -50,7 +50,7 @@ def search_token(chunks: DataFrame, token: int) -> DataFrame:
         probe = np.array([token], dtype=np.int64)
         for batch in batches:
             for row in batch.to_pylist():
-                if not bloom_might_contain(row["bloom"], probe)[0]:
+                if row["bloom"] and not bloom_might_contain(row["bloom"], probe)[0]:
                     continue
                 rb = decode_chunk(row)
                 tok = rb.column("tokens")

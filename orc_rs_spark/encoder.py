@@ -50,6 +50,7 @@ def encode_table(
     repartition: bool = True,
     partitions: int | None = None,
     partition_mode: str = "range",
+    build_bloom: bool = False,
 ) -> DataFrame:
     """(doc_id, tokens, n_tok, source) -> chunk table (CHUNK_DDL schema)."""
     if repartition:
@@ -77,11 +78,14 @@ def encode_table(
                 stripped = batch.drop_columns(["part_key"])
                 for s, e in zip(starts[:-1], starts[1:]):
                     row = encode_chunk(
-                        stripped.slice(int(s), int(e - s)), int(keys[s]), block_codec=block_codec
+                        stripped.slice(int(s), int(e - s)),
+                        int(keys[s]),
+                        block_codec=block_codec,
+                        build_bloom=build_bloom,
                     )
                     yield pa.RecordBatch.from_pylist([row], schema=CHUNK_ARROW_SCHEMA)
             else:
-                row = encode_chunk(batch, task_pid, block_codec=block_codec)
+                row = encode_chunk(batch, task_pid, block_codec=block_codec, build_bloom=build_bloom)
                 yield pa.RecordBatch.from_pylist([row], schema=CHUNK_ARROW_SCHEMA)
 
     return df.mapInArrow(encode_partition, CHUNK_DDL)

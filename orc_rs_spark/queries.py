@@ -436,5 +436,5 @@ def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rs_spark.decoder import search_token
 
     df = token_table_from_events(spark, sf_dir)
-    chunks = encode_table(df, partitions=4)
+    chunks = encode_table(df, partitions=4, build_bloom=True)
     return search_token(chunks, 4242).select("doc_id", "n_tok")

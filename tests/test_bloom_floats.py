@@ -60,7 +60,7 @@ def test_search_token_prunes_chunks(spark):
     from orc_rs_spark.fixtures import token_df
 
     df = token_df(spark, 1000, seed=2, partitions=4).cache()
-    chunks = encode_table(df, partitions=4).cache()
+    chunks = encode_table(df, partitions=4, build_bloom=True).cache()
     probe = int(
         df.select(F.explode("tokens").alias("t")).where(F.col("t") > 0).first()["t"]
     )
