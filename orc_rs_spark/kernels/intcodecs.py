@@ -3,7 +3,10 @@ sorted dictionary, raw.
 
 These are the north-star codecs absent from the reference (SURVEY.md §2.5):
 FoR and plain bit-packing as single-header chunk formats (fully vectorized,
-one NumPy pass per chunk — no per-frame loop), sorted dictionary per the ORC
+one NumPy pass per chunk — no per-frame loop; on the delta-vs-FoR tradeoff
+see "Can Delta Compete with Frame-of-Reference for Lightweight Integer
+Compression?", VLDB 2024 — PAPERS.md — which motivates keeping both and
+letting the measured-trial selector choose), sorted dictionary per the ORC
 dictionary requirement (/root/reference/src/column_reader/binary_reader.rs:154-230
 reads one; ORC spec requires sorted symbol order), and a raw little-endian
 fallback for incompressible data.

@@ -490,6 +490,11 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
     out = np.empty(count, dtype=np.int64)
     pos = 0
     got = 0
+    # direct frames are only recorded during the header walk and unpacked in
+    # one batch per distinct width afterwards (same padding trick as the
+    # encoder: each frame zero-padded to a multiple of 8 values stays
+    # byte-aligned and independent)
+    direct_frames: dict[int, list[tuple[int, int, int, int]]] = {}  # w -> (got, take, pos, n)
     while got < count:
         if pos >= len(b):
             raise ValueError(f"RLEv2 stream truncated at {got}/{count} values")
@@ -507,9 +512,9 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
             n = (((h0 & 1) << 8) | int(b[pos + 1])) + 1
             pos += 2
             nbytes = packed_size(n, w)
-            u = bitunpack(b[pos : pos + nbytes], w, n)
-            take = min(n, count - got)
-            out[got : got + take] = _from_unsigned(u, signed)[:take]
+            if pos + nbytes > len(b):
+                raise ValueError(f"bitpacked stream truncated at {got}/{count} values")
+            direct_frames.setdefault(w, []).append((got, min(n, count - got), pos, n))
             pos += nbytes
         elif tag == 2:  # patched base
             w = decode_direct_width((h0 >> 1) & 0x1F)
@@ -567,4 +572,17 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
                 take = min(n, count - got)
                 out[got : got + take] = vals[:take]
         got += n
+    for w, frames in direct_frames.items():
+        padded_vals = sum((n + 7) // 8 * 8 for _, _, _, n in frames)
+        packed = np.zeros(padded_vals * w // 8, dtype=np.uint8)
+        off = 0
+        for _, _, p, n in frames:
+            nb = packed_size(n, w)
+            packed[off : off + nb] = b[p : p + nb]
+            off += (n + 7) // 8 * 8 * w // 8
+        vals = _from_unsigned(bitunpack(packed, w, padded_vals), signed)
+        voff = 0
+        for g, take, _, n in frames:
+            out[g : g + take] = vals[voff : voff + take]
+            voff += (n + 7) // 8 * 8
     return out
