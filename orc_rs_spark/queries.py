@@ -394,6 +394,9 @@ def rt_boolean_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rt_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 pattern: timestamps as integer epochs through RLEv2 (micros;
     near-sorted event times delta-compress well)."""
+    # the driver may run this under a non-UTC session; DuckDB timestamps
+    # are UTC-naive, so pin the session for a stable comparison
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def rt(batches):
         for b in batches:
@@ -411,6 +414,7 @@ def rt_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("rt_date", "SELECT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem")
 def rt_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7 pattern: dates as day counts through RLEv2."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # ts->date cast stability
 
     def rt(batches):
         for b in batches:

@@ -234,3 +234,21 @@ def test_string_empty_and_unicode():
     ):
         enc = codec_enc(arr, use_fsst=True)
         assert codec_dec(enc, len(arr), use_fsst=True).to_pylist() == arr.to_pylist()
+
+
+def test_rlev1_orc_cpp_backported_vectors():
+    """Remaining FIXTURES.md F3 RLEv1 vectors (backported from Apache ORC
+    C++ via the reference's tests, /root/reference/src/encoding/rlev1.rs:
+    393-505): signed literals, split header, split runs, signed long run."""
+    # signed literals: [0xf8, 0x00..0x07] -> 8 zigzag literals 0,-1,1,-2,2,-3,3,-4
+    out = rlev1_decode(bytes([0xF8, 0x0, 0x1, 0x2, 0x3, 0x4, 0x5, 0x6, 0x7]), 8, signed=True)
+    assert out.tolist() == [0, -1, 1, -2, 2, -3, 3, -4]
+    # split header: run of 3 x 247864668 (varint spans buffer boundaries)
+    out = rlev1_decode(bytes([0x00, 0x00, 0xDC, 0xBA, 0x98, 0x76]), 3, signed=False)
+    assert out.tolist() == [247864668] * 3
+    # split runs: 128-run from 255 step 1, then literals [2,3,4,5] -> first 126 checked
+    out = rlev1_decode(bytes([0x7D, 0x01, 0xFF, 0x01, 0xFB, 0x01, 0x02, 0x03, 0x04, 0x05]), 126, signed=False)
+    assert out.tolist() == [255 + i for i in range(126)]
+    # signed long run: 130 values from 16 step -1 (header 0x7f, delta 0xff, base zigzag 0x20)
+    out = rlev1_decode(bytes([0x7F, 0xFF, 0x20]), 130, signed=True)
+    assert out.tolist() == [16 - i for i in range(130)]
