@@ -65,11 +65,19 @@ def encode_job(
     wave_size: int = 16,
     block_codec: str = "zlib",
     fail_after_waves: int | None = None,
+    fail_between_write_and_checkpoint: bool = False,
 ) -> dict:
     """Run (or resume) the checkpointed encode. Returns summary metrics.
 
-    ``fail_after_waves`` injects a mid-job crash (tests of resume).
+    ``fail_after_waves`` / ``fail_between_write_and_checkpoint`` inject
+    mid-job crashes (resume tests).
+
+    Idempotency: chunk files are written with DYNAMIC partition overwrite,
+    so a wave that crashed after writing chunks but before its checkpoint
+    append simply rewrites the same bucket directories on retry — no
+    duplicate chunks, no manual cleanup.
     """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = with_bucket(df, n_buckets)
     done = done_buckets(spark, checkpoint_dir)
     pending = sorted(set(range(n_buckets)) - done)
@@ -85,7 +93,9 @@ def encode_job(
             "part_key", "source", "doc_id"
         )
         chunks = encode_table(sub, repartition=False, block_codec=block_codec)
-        chunks.write.partitionBy("part_id").mode("append").parquet(chunks_dir)
+        chunks.write.partitionBy("part_id").mode("overwrite").parquet(chunks_dir)
+        if fail_between_write_and_checkpoint and waves == 0:
+            raise RuntimeError("injected failure between chunk write and checkpoint")
         wall_ms = int((time.time() - t0) * 1000)
         stats = (
             spark.read.parquet(chunks_dir)

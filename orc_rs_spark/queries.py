@@ -442,3 +442,23 @@ def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = token_table_from_events(spark, sf_dir)
     chunks = encode_table(df, partitions=4, build_bloom=True)
     return search_token(chunks, 4242).select("doc_id", "n_tok")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(length(text)-2, 0) + 1),
+                                     i -> substr(text, CAST(i AS INT), 3))) AS g
+      FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    co AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c FROM sh a JOIN sh b
+           ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT d1, d2 FROM co JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+    WHERE c::DOUBLE / (s1.n + s2.n - c) >= 0.75
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rs_spark.textops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_pq(spark, sf_dir, "documents"), threshold=0.75, n=3)

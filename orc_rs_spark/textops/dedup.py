@@ -179,3 +179,44 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFr
         .where(F.col("cos") >= threshold)
         .select("v1", "v2")
     )
+
+
+def ngram_sets(
+    docs: DataFrame, n: int = 3, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, character n-gram) distinct pairs — shingle-level dedup basis."""
+    # expression-level transform: F.substring requires a literal position,
+    # so the sliding window is built in SQL
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)), "
+        f"i -> substring({text_col}, CAST(i AS INT), {n}))"
+    )
+    return docs.select(
+        F.col(key_col), F.explode(F.array_distinct(shingles)).alias("g")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.75,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact character-n-gram Jaccard >= threshold pairs (d1 < d2)."""
+    g = ngram_sets(docs, n, text_col, key_col)
+    sz = g.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    co = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")))
+        .groupBy(F.col(f"a.{key_col}").alias("d1"), F.col(f"b.{key_col}").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sz.select(F.col(key_col).alias("d1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col(key_col).alias("d2"), F.col("n").alias("n2"))
+    return (
+        co.join(s1, "d1")
+        .join(s2, "d2")
+        .where(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")) >= threshold)
+        .select("d1", "d2")
+    )

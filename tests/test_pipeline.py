@@ -54,3 +54,29 @@ def test_encode_job_idempotent_rerun(spark, tmp_path):
     s2 = encode_job(spark, df, chunks_dir, cp_dir, n_buckets=4, wave_size=4)
     assert s2["buckets_encoded"] == 0 and s2["waves"] == 0
     assert spark.read.parquet(chunks_dir).count() == n_chunks
+
+
+@pytest.mark.spark
+def test_crash_between_write_and_checkpoint_no_duplicates(spark, tmp_path):
+    """A wave that wrote chunks but died before checkpointing must not
+    leave duplicates after the retry (dynamic partition overwrite)."""
+    chunks_dir = str(tmp_path / "chunks")
+    cp_dir = str(tmp_path / "checkpoint")
+    df = token_df(spark, 800, seed=9, partitions=2).cache()
+    df.count()
+    with pytest.raises(RuntimeError, match="between chunk write"):
+        encode_job(
+            spark, df, chunks_dir, cp_dir, n_buckets=4, wave_size=2,
+            fail_between_write_and_checkpoint=True,
+        )
+    # orphan chunks exist for wave 0, checkpoint empty
+    assert done_buckets(spark, cp_dir) == set()
+    orphans = spark.read.parquet(chunks_dir).count()
+    assert orphans > 0
+    # retry from scratch: buckets rewritten in place, no dupes
+    encode_job(spark, df, chunks_dir, cp_dir, n_buckets=4, wave_size=2)
+    chunks = spark.read.parquet(chunks_dir)
+    assert chunks.select("chunk_id").distinct().count() == chunks.count()
+    n, bad = verify_roundtrip(df, decode_table(chunks))
+    assert n == 800 and bad == 0
+    df.unpersist()
