@@ -216,36 +216,58 @@ def encode_chunk(
     }
 
 
-def decode_chunk(row: dict) -> pa.RecordBatch:
-    """Chunk row -> RecordBatch (doc_id, tokens, n_tok, source)."""
+def decode_chunk(row: dict, columns: tuple[str, ...] | None = None) -> pa.RecordBatch:
+    """Chunk row -> RecordBatch (doc_id, tokens, n_tok, source).
+
+    ``columns`` projects at the STREAM level: unselected streams are never
+    decompressed or decoded (ORC column projection, the reference's
+    out_schema scaffold /root/reference/src/stripe.rs:26-27 made real).
+    n_tok rides the tokens LENGTH stream, so selecting either pulls stream 1.
+    """
+    cols = tuple(columns) if columns else STREAMS
+    need = {
+        0: "doc_id" in cols,
+        1: "tokens" in cols or "n_tok" in cols,
+        2: "tokens" in cols,
+        3: "source" in cols,
+    }
     codecs = row["codec"].split(",")
     block_tags = row["block_codec"].split(",")
     stream_lengths = row["stream_lengths"]
     n_rows = int(row["n_rows"])
     n_values = int(row["n_values"])
     data = row["data"]
-    parts = []
+    unwrapped: dict[int, tuple] = {}
     pos = 0
-    for ln in stream_lengths:
-        parts.append(data[pos : pos + int(ln)])
+    for i, ln in enumerate(stream_lengths):
+        if need[i]:
+            part = data[pos : pos + int(ln)]
+            raw = block_decompress(part, block_tags[i]) if block_tags[i] != "none" else part
+            unwrapped[i] = _unwrap_present(raw, n_rows)
         pos += int(ln)
-    raws = [block_decompress(p, t) if t != "none" else p for p, t in zip(parts, block_tags)]
-    unwrapped = [_unwrap_present(r, n_rows) for r in raws]
-    doc_id = STR_CODECS[codecs[0]][1](unwrapped[0][1], n_rows)
-    tok_present = unwrapped[1][0]
-    n_dense = int(tok_present.sum()) if tok_present is not None else n_rows
-    lengths = INT_CODECS[codecs[1]][1](unwrapped[1][1], n_dense)
-    flat = INT_CODECS[codecs[2]][1](unwrapped[2][1], n_values)
-    src_present = unwrapped[3][0]
-    n_src = int(src_present.sum()) if src_present is not None else n_rows
-    source = _scatter(STR_CODECS[codecs[3]][1](unwrapped[3][1], n_src), src_present)
-    offsets64 = np.concatenate(([0], np.cumsum(lengths)))
-    dense_tokens = pa.ListArray.from_arrays(
-        pa.array(offsets64.astype(np.int32)), pa.array(flat.astype(np.int32))
-    )
-    tokens = _scatter(dense_tokens, tok_present)
-    n_tok = _scatter(pa.array(lengths.astype(np.int32)), tok_present)
-    return pa.RecordBatch.from_arrays(
-        [doc_id, tokens, n_tok, source],
-        names=["doc_id", "tokens", "n_tok", "source"],
-    )
+    out_arrays = []
+    out_names = []
+    if need[1]:
+        tok_present = unwrapped[1][0]
+        n_dense = int(tok_present.sum()) if tok_present is not None else n_rows
+        lengths = INT_CODECS[codecs[1]][1](unwrapped[1][1], n_dense)
+    if need[0]:
+        out_arrays.append(STR_CODECS[codecs[0]][1](unwrapped[0][1], n_rows))
+        out_names.append("doc_id")
+    if need[2]:
+        flat = INT_CODECS[codecs[2]][1](unwrapped[2][1], n_values)
+        offsets64 = np.concatenate(([0], np.cumsum(lengths)))
+        dense_tokens = pa.ListArray.from_arrays(
+            pa.array(offsets64.astype(np.int32)), pa.array(flat.astype(np.int32))
+        )
+        out_arrays.append(_scatter(dense_tokens, tok_present))
+        out_names.append("tokens")
+    if "n_tok" in cols or columns is None:
+        out_arrays.append(_scatter(pa.array(lengths.astype(np.int32)), tok_present))
+        out_names.append("n_tok")
+    if need[3]:
+        src_present = unwrapped[3][0]
+        n_src = int(src_present.sum()) if src_present is not None else n_rows
+        out_arrays.append(_scatter(STR_CODECS[codecs[3]][1](unwrapped[3][1], n_src), src_present))
+        out_names.append("source")
+    return pa.RecordBatch.from_arrays(out_arrays, names=out_names)

@@ -15,17 +15,35 @@ from orc_rs_spark.chunk import decode_chunk
 TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
-def decode_table(chunks: DataFrame) -> DataFrame:
+_COL_DDL = {
+    "doc_id": "doc_id string",
+    "tokens": "tokens array<int>",
+    "n_tok": "n_tok int",
+    "source": "source string",
+}
+
+
+def decode_table(chunks: DataFrame, columns: tuple[str, ...] | None = None) -> DataFrame:
     """Chunk table -> (doc_id, tokens, n_tok, source). Each chunk decodes
     independently (the stripe is the unit of independent decoding,
-    /root/reference/src/reader.rs:161-177)."""
+    /root/reference/src/reader.rs:161-177). ``columns`` projects at the
+    stream level: unselected streams are never decompressed."""
+    if columns is not None:
+        unknown = set(columns) - set(_COL_DDL)
+        if unknown:
+            raise ValueError(f"unknown columns {sorted(unknown)}; available: {list(_COL_DDL)}")
+    ddl = (
+        TOKEN_DDL
+        if columns is None
+        else ", ".join(_COL_DDL[c] for c in _COL_DDL if c in columns)
+    )
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             for row in batch.to_pylist():
-                yield decode_chunk(row)
+                yield decode_chunk(row, columns=columns)
 
-    return chunks.mapInArrow(decode_partition, TOKEN_DDL)
+    return chunks.mapInArrow(decode_partition, ddl)
 
 
 def search_token(chunks: DataFrame, token: int) -> DataFrame:

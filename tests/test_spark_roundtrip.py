@@ -122,3 +122,28 @@ def test_spark_roundtrip_with_nulls(spark):
     chunks = encode_table(df, partitions=2)
     n, bad = verify_roundtrip(df, decode_table(chunks))
     assert n == 150 and bad == 0
+
+
+def test_decode_chunk_column_projection():
+    tbl = token_table(300, seed=5)
+    batch = tbl.to_batches()[0]
+    row = encode_chunk(batch, 0)
+    just_ids = decode_chunk(row, columns=("doc_id",))
+    assert just_ids.schema.names == ["doc_id"]
+    assert just_ids.column(0).to_pylist() == batch.column("doc_id").to_pylist()
+    meta = decode_chunk(row, columns=("doc_id", "n_tok"))
+    assert meta.schema.names == ["doc_id", "n_tok"]
+    assert meta.column("n_tok").to_pylist() == batch.column("n_tok").to_pylist()
+
+
+@pytest.mark.spark
+def test_decode_table_column_projection(spark):
+    df = token_df(spark, 500, seed=8, partitions=2)
+    chunks = encode_table(df, partitions=2).cache()
+    proj = decode_table(chunks, columns=("doc_id", "n_tok"))
+    assert proj.columns == ["doc_id", "n_tok"]
+    assert proj.count() == 500
+    total = proj.agg({"n_tok": "sum"}).collect()[0][0]
+    want = df.agg({"n_tok": "sum"}).collect()[0][0]
+    assert total == want
+    chunks.unpersist()
