@@ -1,0 +1,58 @@
+"""Structured Streaming ingestion: continuously encode arriving token files.
+
+The reference and north star are batch-only (SURVEY.md non-goals list
+streaming state), but a training-data pipeline usually tails an ingest
+directory; this wraps the batch encoder in ``foreachBatch`` so each
+micro-batch becomes encoded chunks with the same format and bit-identity
+guarantees, with exactly-once sink semantics from the streaming checkpoint
+(micro-batch id is recorded; replayed batches overwrite their own output
+via dynamic partition overwrite, mirroring pipeline.encode_job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_rs_spark.decoder import TOKEN_DDL
+from orc_rs_spark.encoder import encode_table
+
+
+def encode_stream(
+    spark: SparkSession,
+    input_dir: str,
+    chunks_dir: str,
+    checkpoint_dir: str,
+    block_codec: str = "zlib",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (or resume) the streaming encode; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in ``input_dir`` and
+    stops — the batch-catchup mode; False runs continuously.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    reader = spark.readStream.schema(TOKEN_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import functions as F
+
+        chunks = encode_table(batch_df, repartition=False, block_codec=block_codec)
+        # micro-batch id as the chunk partition: a replayed batch overwrites
+        # exactly its own directory -> exactly-once output
+        chunks = chunks.withColumn("part_id", F.lit(int(batch_id)).cast("int"))
+        chunks.write.partitionBy("part_id").mode("overwrite").parquet(chunks_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
