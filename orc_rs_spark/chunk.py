@@ -2,22 +2,23 @@
 
 Mapping to the reference's data model (SURVEY.md §1.3): ORC stripe -> chunk
 (one per group of rows inside a Spark partition); ORC stream -> one framed
-byte range inside the chunk's ``data`` column, located by ``stream_lengths``
-exactly like the stripe footer's stream list
-(/root/reference/src/proto/orc_proto.proto:121-146, offset accumulation at
-/root/reference/src/column_reader/mod.rs:269-288); ColumnEncoding.kind ->
-the per-stream ``codecs`` tags.
+binary column of the chunk row; ColumnEncoding.kind -> the per-stream
+``codecs`` tags (/root/reference/src/proto/orc_proto.proto:148-162).
 
-Chunk streams, fixed order:
-  0: doc_id   (string codec)
-  1: n_tok    (int codec; doubles as the tokens LENGTH stream, the R12
-               list-offsets pattern: /root/reference/src/column_reader/
-               complex_type_reader.rs:130-144)
-  2: tokens   (int codec over the flattened list values)
-  3: source   (string codec)
+Chunk streams, one binary COLUMN each (`s_doc_id`, `s_n_tok`, `s_tokens`,
+`s_source`) rather than ORC's single packed byte range: storing the chunk
+table in parquet makes each stream independently column-prunable at the
+I/O level — a metadata projection (doc_id + n_tok) never reads token
+bytes off disk, which ORC's stripe layout cannot do without its (unused in
+the reference, /root/reference/src/stripe.rs:171) index machinery. The
+``stream_lengths`` metadata keeps the ORC stream-list view of the same
+facts (/root/reference/src/proto/orc_proto.proto:121-146).
 
-Each stream is independently block-compressed (ORC-style zlib framing,
-kernels/blockcomp.py) when that wins.
+Stream roles: s_n_tok is the tokens LENGTH stream (the R12 list-offsets
+pattern: /root/reference/src/column_reader/complex_type_reader.rs:130-144);
+each stream carries an optional PRESENT prefix (GenericReader null demux,
+/root/reference/src/column_reader/mod.rs:339-377) and is independently
+block-compressed (ORC-style zlib framing) when that wins.
 """
 
 from __future__ import annotations
@@ -29,43 +30,23 @@ import pyarrow as pa
 
 from orc_rs_spark.kernels.blockcomp import block_compress, block_decompress
 from orc_rs_spark.kernels.bloom import bloom_build
-
-
-def _maybe_bloom(flat, max_distinct: int = 1 << 16):
-    """Bloom filters pay only on low-distinct chunks: at ~10 bits per
-    distinct value a mostly-unique 1M-token chunk would spend >30% of its
-    encoded size on the filter (Spark's ORC writer also defaults bloom
-    off). Empty bytes = no filter = 'must decode unless min/max prunes'."""
-    import numpy as np
-
-    if len(flat) == 0:
-        return b""
-    sample = flat[:: max(1, len(flat) // 4096)][:4096]
-    if len(np.unique(sample)) / len(sample) > 0.5 and len(flat) > max_distinct:
-        return b""
-    u = np.unique(flat)
-    return bloom_build(u) if len(u) <= max_distinct else b""
-
 from orc_rs_spark.kernels.byte_rle import boolean_rle_decode, boolean_rle_encode
 from orc_rs_spark.kernels.select import INT_CODECS, STR_CODECS, encode_ints_auto, encode_strings_auto
 from orc_rs_spark.kernels.varint import varint_decode, varint_encode
 
-
-def _uvarint(x: int) -> bytes:
-    import numpy as _np
-
-    return varint_encode(_np.array([x], dtype=_np.uint64))
-
-CODEC_VERSION = "1"
+CODEC_VERSION = "2"  # bumped: per-stream columns replaced the packed blob
 
 STREAMS = ("doc_id", "n_tok", "tokens", "source")
+STREAM_COLS = ("s_doc_id", "s_n_tok", "s_tokens", "s_source")
 
 # Spark-side schema of the chunk table (keep in sync with CHUNK_ARROW_SCHEMA)
 CHUNK_DDL = (
     "chunk_id string, part_id int, source string, codec string, "
     "block_codec string, n_rows bigint, n_values bigint, "
-    "stream_lengths array<bigint>, data binary, bloom binary, "
-    "orig_bytes bigint, enc_bytes bigint, min_val bigint, max_val bigint"
+    "stream_lengths array<bigint>, "
+    "s_doc_id binary, s_n_tok binary, s_tokens binary, s_source binary, "
+    "bloom binary, orig_bytes bigint, enc_bytes bigint, "
+    "min_val bigint, max_val bigint"
 )
 
 CHUNK_ARROW_SCHEMA = pa.schema(
@@ -78,7 +59,10 @@ CHUNK_ARROW_SCHEMA = pa.schema(
         ("n_rows", pa.int64()),
         ("n_values", pa.int64()),
         ("stream_lengths", pa.list_(pa.int64())),
-        ("data", pa.binary()),
+        ("s_doc_id", pa.binary()),
+        ("s_n_tok", pa.binary()),
+        ("s_tokens", pa.binary()),
+        ("s_source", pa.binary()),
         ("bloom", pa.binary()),
         ("orig_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
@@ -86,6 +70,24 @@ CHUNK_ARROW_SCHEMA = pa.schema(
         ("max_val", pa.int64()),
     ]
 )
+
+
+def _uvarint(x: int) -> bytes:
+    return varint_encode(np.array([x], dtype=np.uint64))
+
+
+def _maybe_bloom(flat: np.ndarray, max_distinct: int = 1 << 16) -> bytes:
+    """Bloom filters pay only on low-distinct chunks: at ~10 bits per
+    distinct value a mostly-unique 1M-token chunk would spend >30% of its
+    encoded size on the filter (Spark's ORC writer also defaults bloom
+    off). Empty bytes = no filter = 'must decode unless min/max prunes'."""
+    if len(flat) == 0:
+        return b""
+    sample = flat[:: max(1, len(flat) // 4096)][:4096]
+    if len(np.unique(sample)) / len(sample) > 0.5 and len(flat) > max_distinct:
+        return b""
+    u = np.unique(flat)
+    return bloom_build(u) if len(u) <= max_distinct else b""
 
 
 def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -111,8 +113,8 @@ def _wrap_present(present: np.ndarray | None, payload: bytes) -> bytes:
 
     Mirrors the reference's GenericReader protocol — DATA streams carry only
     the non-null values; the PRESENT bitmap (boolean RLE, C2) demultiplexes
-    (/root/reference/src/column_reader/mod.rs:339-377, and :344-351 for the
-    no-placeholders rule). present=None -> length 0 -> all-valid.
+    (/root/reference/src/column_reader/mod.rs:344-351: no placeholders for
+    nulls). present=None -> length 0 -> all-valid.
     """
     if present is None:
         return _uvarint(0) + payload
@@ -184,7 +186,6 @@ def encode_chunk(
         comp, tag = _maybe_block(_wrap_present(present, raw), block_codec)
         streams.append(comp)
         block_tags.append(tag)
-    data = b"".join(streams)
     orig_bytes = (
         sum(len(x) for x in (doc_id.buffers() + source.buffers()) if x is not None)
         + flat.nbytes
@@ -207,67 +208,84 @@ def encode_chunk(
         "n_rows": n_rows,
         "n_values": int(lengths.sum()),
         "stream_lengths": [len(s) for s in streams],
-        "data": data,
+        "s_doc_id": streams[0],
+        "s_n_tok": streams[1],
+        "s_tokens": streams[2],
+        "s_source": streams[3],
         "bloom": _maybe_bloom(flat) if build_bloom else b"",
         "orig_bytes": int(orig_bytes),
-        "enc_bytes": len(data),
+        "enc_bytes": sum(len(s) for s in streams),
         "min_val": int(flat.min()) if len(flat) else 0,
         "max_val": int(flat.max()) if len(flat) else 0,
     }
+
+
+# chunk columns each output column needs (n_tok rides the tokens LENGTH
+# stream; tokens needs its LENGTH stream too)
+COLUMN_STREAMS = {
+    "doc_id": ("s_doc_id",),
+    "n_tok": ("s_n_tok",),
+    "tokens": ("s_n_tok", "s_tokens"),
+    "source": ("s_source",),
+}
+CHUNK_META_COLS = ("codec", "block_codec", "n_rows", "n_values")
+
+
+def chunk_columns_for(columns: tuple[str, ...] | None) -> list[str]:
+    """Chunk-table columns needed to decode ``columns`` (for df.select so
+    parquet prunes unneeded stream bytes at the I/O level)."""
+    cols = tuple(columns) if columns else STREAMS
+    need = list(CHUNK_META_COLS)
+    for c in cols:
+        for s in COLUMN_STREAMS[c]:
+            if s not in need:
+                need.append(s)
+    return need
 
 
 def decode_chunk(row: dict, columns: tuple[str, ...] | None = None) -> pa.RecordBatch:
     """Chunk row -> RecordBatch (doc_id, tokens, n_tok, source).
 
     ``columns`` projects at the STREAM level: unselected streams are never
-    decompressed or decoded (ORC column projection, the reference's
-    out_schema scaffold /root/reference/src/stripe.rs:26-27 made real).
-    n_tok rides the tokens LENGTH stream, so selecting either pulls stream 1.
+    decompressed or decoded — and when the caller also projects the chunk
+    DataFrame (``chunk_columns_for``), their bytes are never even read.
     """
     cols = tuple(columns) if columns else STREAMS
-    need = {
-        0: "doc_id" in cols,
-        1: "tokens" in cols or "n_tok" in cols,
-        2: "tokens" in cols,
-        3: "source" in cols,
-    }
     codecs = row["codec"].split(",")
     block_tags = row["block_codec"].split(",")
-    stream_lengths = row["stream_lengths"]
     n_rows = int(row["n_rows"])
     n_values = int(row["n_values"])
-    data = row["data"]
-    unwrapped: dict[int, tuple] = {}
-    pos = 0
-    for i, ln in enumerate(stream_lengths):
-        if need[i]:
-            part = data[pos : pos + int(ln)]
-            raw = block_decompress(part, block_tags[i]) if block_tags[i] != "none" else part
-            unwrapped[i] = _unwrap_present(raw, n_rows)
-        pos += int(ln)
+
+    def stream(i: int, name: str):
+        part = row[name]
+        raw = block_decompress(part, block_tags[i]) if block_tags[i] != "none" else part
+        return _unwrap_present(raw, n_rows)
+
     out_arrays = []
     out_names = []
-    if need[1]:
-        tok_present = unwrapped[1][0]
+    if "tokens" in cols or "n_tok" in cols:
+        tok_present, len_payload = stream(1, "s_n_tok")
         n_dense = int(tok_present.sum()) if tok_present is not None else n_rows
-        lengths = INT_CODECS[codecs[1]][1](unwrapped[1][1], n_dense)
-    if need[0]:
-        out_arrays.append(STR_CODECS[codecs[0]][1](unwrapped[0][1], n_rows))
+        lengths = INT_CODECS[codecs[1]][1](len_payload, n_dense)
+    if "doc_id" in cols:
+        _, payload = stream(0, "s_doc_id")
+        out_arrays.append(STR_CODECS[codecs[0]][1](payload, n_rows))
         out_names.append("doc_id")
-    if need[2]:
-        flat = INT_CODECS[codecs[2]][1](unwrapped[2][1], n_values)
+    if "tokens" in cols:
+        _, payload = stream(2, "s_tokens")
+        flat = INT_CODECS[codecs[2]][1](payload, n_values)
         offsets64 = np.concatenate(([0], np.cumsum(lengths)))
         dense_tokens = pa.ListArray.from_arrays(
             pa.array(offsets64.astype(np.int32)), pa.array(flat.astype(np.int32))
         )
         out_arrays.append(_scatter(dense_tokens, tok_present))
         out_names.append("tokens")
-    if "n_tok" in cols or columns is None:
+    if "n_tok" in cols:
         out_arrays.append(_scatter(pa.array(lengths.astype(np.int32)), tok_present))
         out_names.append("n_tok")
-    if need[3]:
-        src_present = unwrapped[3][0]
+    if "source" in cols:
+        src_present, payload = stream(3, "s_source")
         n_src = int(src_present.sum()) if src_present is not None else n_rows
-        out_arrays.append(_scatter(STR_CODECS[codecs[3]][1](unwrapped[3][1], n_src), src_present))
+        out_arrays.append(_scatter(STR_CODECS[codecs[3]][1](payload, n_src), src_present))
         out_names.append("source")
     return pa.RecordBatch.from_arrays(out_arrays, names=out_names)

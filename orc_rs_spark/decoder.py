@@ -37,6 +37,11 @@ def decode_table(chunks: DataFrame, columns: tuple[str, ...] | None = None) -> D
         if columns is None
         else ", ".join(_COL_DDL[c] for c in _COL_DDL if c in columns)
     )
+    from orc_rs_spark.chunk import chunk_columns_for
+
+    # project the chunk table first: parquet then never reads the bytes of
+    # unselected streams (I/O-level column pruning)
+    chunks = chunks.select(*chunk_columns_for(columns))
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -59,10 +64,12 @@ def search_token(chunks: DataFrame, token: int) -> DataFrame:
 
     import numpy as np
 
-    from orc_rs_spark.chunk import decode_chunk
+    from orc_rs_spark.chunk import chunk_columns_for, decode_chunk
     from orc_rs_spark.kernels.bloom import bloom_might_contain
 
-    pruned = chunks.where((F.col("min_val") <= token) & (F.col("max_val") >= token))
+    pruned = chunks.where((F.col("min_val") <= token) & (F.col("max_val") >= token)).select(
+        "bloom", *chunk_columns_for(None)
+    )
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         probe = np.array([token], dtype=np.int64)

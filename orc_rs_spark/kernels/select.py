@@ -173,6 +173,9 @@ def encode_ints_auto(
     if n == 0:
         return "raw", b""
     st = int_stats(v)
+    if st["monotonic"] and n >= 64:
+        # decisively delta-shaped: skip the trial round entirely
+        return "rlev2", rlev2_encode(v, signed=True, boundaries=boundaries)
     cands = candidate_int_codecs(st)
     sample = _sample_slices(v)
     sizes: dict[str, int] = {}
