@@ -44,6 +44,9 @@ def prepare_for_encode(
     return rp.sortWithinPartitions("source", "doc_id")
 
 
+CHUNK_ROWS = 4096  # rows per chunk; ~1M tokens keeps worker sets cache-friendly
+
+
 def encode_table(
     df: DataFrame,
     block_codec: str = "zlib",
@@ -51,41 +54,63 @@ def encode_table(
     partitions: int | None = None,
     partition_mode: str = "range",
     build_bloom: bool = False,
+    chunk_rows: int = CHUNK_ROWS,
 ) -> DataFrame:
-    """(doc_id, tokens, n_tok, source) -> chunk table (CHUNK_DDL schema)."""
+    """(doc_id, tokens, n_tok, source) -> chunk table (CHUNK_DDL schema).
+
+    The whole input partition is buffered (bounded by the scan's
+    maxPartitionBytes) and sliced into uniform ``chunk_rows`` chunks, so at
+    most one undersized remainder chunk exists per partition/bucket — small
+    Arrow-batch tails compress poorly and made total size jitter with the
+    range sampler otherwise.
+    """
     if repartition:
         df = prepare_for_encode(df, partitions, mode=partition_mode)
 
     has_part_key = "part_key" in df.columns
+
+    def emit(segment: pa.Table, pid: int) -> Iterator[pa.RecordBatch]:
+        n = segment.num_rows
+        if n == 0:
+            return
+        # balanced split: ceil-rounded equal parts instead of fixed slices,
+        # so no segment leaves a tiny tail chunk (tails amortize their
+        # dict/FSST tables poorly and made total size jitter)
+        n_chunks = max(1, round(n / chunk_rows))
+        for i in range(n_chunks):
+            lo = n * i // n_chunks
+            hi = n * (i + 1) // n_chunks
+            piece = segment.slice(lo, hi - lo).combine_chunks()
+            row = encode_chunk(
+                piece.to_batches()[0],
+                pid,
+                block_codec=block_codec,
+                build_bloom=build_bloom,
+            )
+            yield pa.RecordBatch.from_pylist([row], schema=CHUNK_ARROW_SCHEMA)
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
         ctx = TaskContext.get()
         task_pid = ctx.partitionId() if ctx is not None else -1
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            if has_part_key:
-                # explicit bucket id (pipeline resume unit) rides along as
-                # the chunk's part_id — stable across cluster sizes. Range
-                # partitioning is approximate, so one Arrow batch may span
-                # bucket boundaries: split on them so every chunk is
-                # single-bucket (resume exactness depends on it).
-                keys = batch.column("part_key").to_numpy()
-                bounds = np.flatnonzero(np.diff(keys)) + 1
-                starts = np.concatenate(([0], bounds, [len(keys)]))
-                stripped = batch.drop_columns(["part_key"])
-                for s, e in zip(starts[:-1], starts[1:]):
-                    row = encode_chunk(
-                        stripped.slice(int(s), int(e - s)),
-                        int(keys[s]),
-                        block_codec=block_codec,
-                        build_bloom=build_bloom,
-                    )
-                    yield pa.RecordBatch.from_pylist([row], schema=CHUNK_ARROW_SCHEMA)
-            else:
-                row = encode_chunk(batch, task_pid, block_codec=block_codec, build_bloom=build_bloom)
-                yield pa.RecordBatch.from_pylist([row], schema=CHUNK_ARROW_SCHEMA)
+        blist = [b for b in batches if b.num_rows]
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        if has_part_key:
+            # explicit bucket id (pipeline resume unit) rides along as the
+            # chunk's part_id — stable across cluster sizes. Range
+            # partitioning is approximate, so a partition may span bucket
+            # boundaries: split on them so every chunk is single-bucket
+            # (resume exactness depends on it).
+            keys = tbl.column("part_key").to_numpy()
+            bounds = np.flatnonzero(np.diff(keys)) + 1
+            starts = np.concatenate(([0], bounds, [len(keys)]))
+            stripped = tbl.drop_columns(["part_key"])
+            for s, e in zip(starts[:-1], starts[1:]):
+                yield from emit(stripped.slice(int(s), int(e - s)), int(keys[s]))
+        else:
+            yield from emit(tbl, task_pid)
 
     return df.mapInArrow(encode_partition, CHUNK_DDL)

@@ -462,3 +462,35 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rs_spark.textops.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_pq(spark, sf_dir, "documents"), threshold=0.75, n=3)
+
+
+# ==================================================== generic any-schema
+# whole-table round-trips through the generic encoder (every column type at
+# once) — the reference reads arbitrary ORC schemas; this proves we write
+# and read them back bit-identically
+
+from orc_rs_spark.generic import decode_generic_table, encode_generic_table  # noqa: E402
+
+
+def _generic_roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _pq(spark, sf_dir, table)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return decode_generic_table(encode_generic_table(df), ddl)
+
+
+@register("rt_generic_lineitem", "SELECT * FROM lineitem")
+def rt_generic_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _generic_roundtrip(spark, sf_dir, "lineitem")
+
+
+@register("rt_generic_events", "SELECT * FROM events")
+def rt_generic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _generic_roundtrip(spark, sf_dir, "events")
+
+
+@register("rt_generic_embeddings", "SELECT * FROM embeddings")
+def rt_generic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole embeddings table including the list<float> column (float-list
+    stream = LENGTH + raw/BSS float payload)."""
+    return _generic_roundtrip(spark, sf_dir, "embeddings")

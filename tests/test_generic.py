@@ -1,0 +1,78 @@
+"""Generic any-schema encoder: 12-type round-trip with nulls, Spark pass."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from orc_rs_spark.generic import (
+    decode_generic_chunk,
+    decode_generic_table,
+    encode_generic_batch,
+    encode_generic_table,
+)
+
+RNG = np.random.default_rng(3)
+
+
+def _batch(n=2000):
+    b = pa.RecordBatch.from_arrays(
+        [
+            pa.array(RNG.integers(-100, 100, n), type=pa.int8()),
+            pa.array(RNG.integers(0, 30000, n), type=pa.int16()),
+            pa.array(RNG.integers(-(2**31), 2**31, n), type=pa.int32()),
+            pa.array(np.arange(n) * 7, type=pa.int64()),
+            pa.array(RNG.standard_normal(n), type=pa.float64()),
+            pa.array(RNG.standard_normal(n).astype(np.float32)),
+            pa.array([f"s{i % 37}" for i in range(n)]),
+            pa.array([bytes([i % 256, (i * 7) % 256]) for i in range(n)], type=pa.binary()),
+            pa.array(RNG.random(n) < 0.3),
+            pa.array(RNG.integers(0, 20000, n), type=pa.int32()).cast(pa.date32()),
+            pa.array(RNG.integers(0, 2**40, n), type=pa.int64()).cast(pa.timestamp("us", tz="UTC")),
+            pa.ListArray.from_arrays(
+                pa.array(np.arange(0, 4 * (n + 1), 4, dtype=np.int32)),
+                pa.array(RNG.integers(0, 1000, 4 * n), type=pa.int32()),
+            ),
+            pa.ListArray.from_arrays(
+                pa.array(np.arange(0, 3 * (n + 1), 3, dtype=np.int32)),
+                pa.array(RNG.standard_normal(3 * n).astype(np.float32)),
+            ),
+        ],
+        names=["i8", "i16", "i32", "i64", "f64", "f32", "s", "b", "flag", "d", "ts", "lst", "flst"],
+    )
+    mask = pa.array(RNG.random(n) < 0.1)
+    b = b.set_column(6, "s", pc.if_else(mask, pa.scalar(None, pa.string()), b.column("s")))
+    b = b.set_column(4, "f64", pc.if_else(mask, pa.scalar(None, pa.float64()), b.column("f64")))
+    return b
+
+
+def test_generic_batch_roundtrip_all_types():
+    batch = _batch()
+    row = encode_generic_batch(batch, 0)
+    out = decode_generic_chunk(row)
+    for name in batch.schema.names:
+        assert batch.column(name).to_pylist() == out.column(name).to_pylist(), name
+        assert batch.column(name).type == out.column(name).type, name
+    raw = sum(
+        sum(len(x) for x in batch.column(i).buffers() if x is not None)
+        for i in range(batch.num_columns)
+    )
+    assert row["enc_bytes"] < raw  # compresses overall
+
+
+def test_generic_unsupported_type_raises():
+    b = pa.RecordBatch.from_arrays(
+        [pa.array([{"a": 1}], type=pa.struct([("a", pa.int64())]))], names=["st"]
+    )
+    with pytest.raises(TypeError, match="unsupported column type"):
+        encode_generic_batch(b, 0)
+
+
+@pytest.mark.spark
+def test_generic_spark_roundtrip_lineitem(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out = decode_generic_table(encode_generic_table(df), ddl)
+    a = sorted(map(str, df.collect()))
+    b = sorted(map(str, out.collect()))
+    assert a == b
