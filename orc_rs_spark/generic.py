@@ -70,6 +70,17 @@ def _encode_column(arr: pa.Array) -> tuple[str, bytes]:
         v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
         codec, enc = encode_ints_auto(v)
         return f"ts:{codec}", enc
+    if pa.types.is_decimal(t):
+        # R5 pattern: the unscaled mantissa through the int codecs (the
+        # reference decodes zigzag-varint mantissas + a scale stream,
+        # /root/reference/src/column_reader/numeric_reader.rs:314-383;
+        # here scale is fixed per column so it lives in the schema)
+        if t.precision > 18:
+            raise TypeError(f"decimal precision > 18 unsupported: {t}")
+        words = np.frombuffer(arr.buffers()[1], dtype=np.int64).reshape(-1, 2)
+        unscaled = words[arr.offset : arr.offset + len(arr), 0].copy()
+        codec, enc = encode_ints_auto(unscaled)
+        return f"dec:{codec}", enc
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         codec, enc = encode_strings_auto(arr)
         return f"str:{codec}", enc
@@ -109,6 +120,12 @@ def _decode_column(tag: str, payload: bytes, n: int, dtype: pa.DataType) -> pa.A
         return pa.array(v).cast(dtype)
     if kind == "float":
         return pa.array(float_decode(payload, n)).cast(dtype)
+    if kind == "dec":
+        unscaled = INT_CODECS[rest][1](payload, n)
+        pairs = np.zeros((n, 2), dtype=np.int64)
+        pairs[:, 0] = unscaled
+        pairs[:, 1] = unscaled >> 63  # sign extension of the high word
+        return pa.Array.from_buffers(dtype, n, [None, pa.py_buffer(pairs.tobytes())])
     if kind in ("str", "bin"):
         out = STR_CODECS[rest][1](payload, n)
         return out.cast(dtype) if out.type != dtype else out

@@ -494,3 +494,16 @@ def rt_generic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole embeddings table including the list<float> column (float-list
     stream = LENGTH + raw/BSS float payload)."""
     return _generic_roundtrip(spark, sf_dir, "embeddings")
+
+
+@register(
+    "rt_generic_decimal",
+    "SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem",
+)
+def rt_generic_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: decimal128 (p<=18) as unscaled int64 mantissas through the int
+    codecs."""
+    df = _pq(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price")
+    )
+    return decode_generic_table(encode_generic_table(df), "price decimal(12,2)")

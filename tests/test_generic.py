@@ -15,6 +15,14 @@ from orc_rs_spark.generic import (
 RNG = np.random.default_rng(3)
 
 
+def _decimal_col(n):
+    unscaled = RNG.integers(-(10**11), 10**11, n)
+    pairs = np.zeros((n, 2), dtype=np.int64)
+    pairs[:, 0] = unscaled
+    pairs[:, 1] = unscaled >> 63
+    return pa.Array.from_buffers(pa.decimal128(12, 2), n, [None, pa.py_buffer(pairs.tobytes())])
+
+
 def _batch(n=2000):
     b = pa.RecordBatch.from_arrays(
         [
@@ -37,8 +45,9 @@ def _batch(n=2000):
                 pa.array(np.arange(0, 3 * (n + 1), 3, dtype=np.int32)),
                 pa.array(RNG.standard_normal(3 * n).astype(np.float32)),
             ),
+            _decimal_col(n),
         ],
-        names=["i8", "i16", "i32", "i64", "f64", "f32", "s", "b", "flag", "d", "ts", "lst", "flst"],
+        names=["i8", "i16", "i32", "i64", "f64", "f32", "s", "b", "flag", "d", "ts", "lst", "flst", "dec"],
     )
     mask = pa.array(RNG.random(n) < 0.1)
     b = b.set_column(6, "s", pc.if_else(mask, pa.scalar(None, pa.string()), b.column("s")))
