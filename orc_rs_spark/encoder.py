@@ -114,3 +114,31 @@ def encode_table(
             yield from emit(tbl, task_pid)
 
     return df.mapInArrow(encode_partition, CHUNK_DDL)
+
+
+def compact_chunks(
+    chunks: DataFrame,
+    target_rows: int = 4 * CHUNK_ROWS,
+    block_codec: str = "zlib",
+) -> DataFrame:
+    """Rewrite many small chunks into fewer ~target_rows chunks.
+
+    Chunk lifecycle maintenance (ORC file merging analogue): streaming
+    ingest and small waves leave many tiny chunks; compaction bounds
+    chunk-table metadata, task counts, and scan fan-out. Measured on the
+    fixture, encoded BYTES stay ~flat (row-aligned frames already compress
+    at row granularity) — the win is operational, not ratio.
+    """
+    from orc_rs_spark.decoder import decode_table
+
+    rows = decode_table(chunks)
+    # range mode: re-sorting by (source, doc_id) preserves the locality the
+    # small chunks' provenance gave them (hash mode mixed unrelated rows
+    # and cost ~4% size)
+    return encode_table(
+        rows,
+        block_codec=block_codec,
+        partitions=max(1, chunks.sparkSession.sparkContext.defaultParallelism),
+        partition_mode="range",
+        chunk_rows=target_rows,
+    )

@@ -147,3 +147,24 @@ def test_decode_table_column_projection(spark):
     want = df.agg({"n_tok": "sum"}).collect()[0][0]
     assert total == want
     chunks.unpersist()
+
+
+@pytest.mark.spark
+def test_compact_chunks(spark):
+    df = token_df(spark, 2000, seed=21, partitions=8)
+    small = encode_table(df, partitions=8, chunk_rows=256).cache()
+    n_small = small.count()
+    from orc_rs_spark.encoder import compact_chunks
+
+    big = compact_chunks(small, target_rows=2000).cache()
+    n_big = big.count()
+    assert n_big < n_small  # the point: fewer chunks to track and scan
+    from pyspark.sql import functions as F
+
+    small_bytes = small.agg(F.sum("enc_bytes")).collect()[0][0]
+    big_bytes = big.agg(F.sum("enc_bytes")).collect()[0][0]
+    assert big_bytes < small_bytes * 1.10  # bytes stay ~flat (see docstring)
+    n, bad = verify_roundtrip(df, decode_table(big))
+    assert n == 2000 and bad == 0
+    small.unpersist()
+    big.unpersist()
