@@ -56,3 +56,61 @@ def encode_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Stateful streaming exact-dedup: emit each document the FIRST time its
+    text digest is seen, across micro-batches (custom stateful operator via
+    ``applyInPandasWithState``; state = digests seen per hash-prefix group).
+
+    Scale posture: state is keyed by a 256-way digest prefix, so state rows
+    spread uniformly over executors and each group's state is a flat digest
+    set (bounded by distinct docs, the minimum any exact dedup must hold).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(f"{key_col} string, {text_col} string")
+        .parquet(input_dir)
+        .withColumn("digest", F.md5(F.col(text_col)))
+        .withColumn("grp", F.substring("digest", 1, 2))
+    )
+
+    def dedup_group(key, pdf_iter, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdf_iter:
+            fresh = pdf[~pdf["digest"].isin(seen)]
+            # first occurrence within the batch wins too
+            fresh = fresh.drop_duplicates(subset=["digest"], keep="first")
+            seen.update(fresh["digest"].tolist())
+            out.append(fresh[[key_col, text_col, "digest"]])
+        state.update((list(seen),))
+        yield pd.concat(out) if out else pd.DataFrame(columns=[key_col, text_col, "digest"])
+
+    deduped = stream.groupBy("grp").applyInPandasWithState(
+        dedup_group,
+        outputStructType=f"{key_col} string, {text_col} string, digest string",
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

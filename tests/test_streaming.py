@@ -48,3 +48,32 @@ def test_streaming_encode_available_now(spark, tmp_path):
     assert n == 1800 and bad == 0
     # no duplicate chunk ids across micro-batches
     assert chunks.select("chunk_id").distinct().count() == chunks.count()
+
+
+@pytest.mark.spark
+def test_streaming_stateful_dedup(spark, tmp_path):
+    from orc_rs_spark.streaming import streaming_dedup
+
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp2")
+    os.makedirs(inp)
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table({"doc_id": ["a", "b", "c"], "text": ["xx", "yy", "xx"]}),
+        f"{inp}/f1.parquet",
+    )
+    q = streaming_dedup(spark, inp, out, cp)
+    q.awaitTermination(120)
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {"a", "b"}  # c is a dup of a within the batch
+
+    # second batch: dup across micro-batches is dropped by state
+    pq.write_table(
+        pa.table({"doc_id": ["d", "e"], "text": ["yy", "zz"]}), f"{inp}/f2.parquet"
+    )
+    q2 = streaming_dedup(spark, inp, out, cp)
+    q2.awaitTermination(120)
+    rows = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert rows == {"a", "b", "e"}  # d's text was seen in batch 1
