@@ -369,6 +369,7 @@ def rlev2_encode(
     # independent, so ONE bitpack call per distinct width replaces one call
     # per frame (the per-call dispatch dominated encode time)
     direct_groups: dict[int, list[tuple[int, int, int]]] = {}  # w -> [(out_idx, s, e)]
+    patched_groups: dict[int, list[tuple[int, int, int]]] = {}  # w -> [(out_idx, s, e)]
     for i in range(k):
         s, e = int(starts[i]), int(ends[i])
         L = e - s
@@ -404,7 +405,24 @@ def rlev2_encode(
                     if sized is not None and sized[0] < best_size:
                         best_size, best_plan = sized
                 if best_plan is not None:
-                    out.extend(_patched_build(best_plan, adj_all[s:e]))
+                    # header + base + (small) patch entries now; the DATA
+                    # pack joins the per-width batch below
+                    (pn, pbase, pw_, ppw, ppgw, ppll, pcw, pgaps, ppatches) = best_plan
+                    base_bytes, pbw = _encode_base(pbase)
+                    out.append(
+                        bytes(
+                            [
+                                (2 << 6) | (encode_direct_width(pw_) << 1) | ((pn - 1) >> 8),
+                                (pn - 1) & 0xFF,
+                                ((pbw - 1) << 5) | encode_direct_width(ppw),
+                                ((ppgw - 1) << 5) | ppll,
+                            ]
+                        )
+                    )
+                    out.append(base_bytes)
+                    out.append(b"")  # DATA placeholder (batched)
+                    patched_groups.setdefault(pw_, []).append((len(out) - 1, s, e))
+                    out.append(bitpack((pgaps << np.uint64(ppw)) | ppatches, pcw))
                     continue
         out.append(
             bytes(
@@ -416,20 +434,28 @@ def rlev2_encode(
         )
         out.append(b"")  # placeholder, filled by the per-width batch pack
         direct_groups.setdefault(w_direct, []).append((len(out) - 1, s, e))
-    for w, frames in direct_groups.items():
-        padded_total = sum((e - s + 7) // 8 * 8 for _, s, e in frames)
-        buf = np.zeros(padded_total, dtype=np.uint64)
-        pos = 0
-        for _, s, e in frames:
-            buf[pos : pos + (e - s)] = u_all[s:e]
-            pos += (e - s + 7) // 8 * 8
-        packed = bitpack(buf, w)
-        off = 0
-        for out_idx, s, e in frames:
-            L = e - s
-            nb = packed_size(L, w)
-            out[out_idx] = packed[off : off + nb]
-            off += (L + 7) // 8 * 8 * w // 8
+    def _batch_pack(groups: dict, source: np.ndarray, mask_to_w: bool) -> None:
+        for w, frames in groups.items():
+            padded_total = sum((e - s + 7) // 8 * 8 for _, s, e in frames)
+            buf = np.zeros(padded_total, dtype=np.uint64)
+            pos = 0
+            for _, s, e in frames:
+                buf[pos : pos + (e - s)] = source[s:e]
+                pos += (e - s + 7) // 8 * 8
+            if mask_to_w and w < 64:
+                buf &= (_U64_ONE << np.uint64(w)) - _U64_ONE
+            packed = bitpack(buf, w)
+            off = 0
+            for out_idx, s, e in frames:
+                L = e - s
+                nb = packed_size(L, w)
+                out[out_idx] = packed[off : off + nb]
+                off += (L + 7) // 8 * 8 * w // 8
+
+    _batch_pack(direct_groups, u_all, mask_to_w=False)
+    # patched DATA keeps only the low w bits (outlier high bits ride the
+    # patch list)
+    _batch_pack(patched_groups, adj_all, mask_to_w=True)
     return b"".join(out)
 
 
