@@ -75,6 +75,13 @@ def main() -> None:
     ).collect()[0]
     enc_bytes, orig_bytes = int(agg["enc"]), int(agg["orig"])
 
+    # q1b: map-side encode (scan -> encode -> sink, no raw-row shuffle) —
+    # the 100 TB production plan (SCALE.md); q1 keeps the shuffle for the
+    # explicit-partitioning path
+    t0 = time.time()
+    encode_table(df, repartition=False).write.mode("overwrite").parquet(f"{work_dir}/chunks_mapside")
+    timings["q1b_encode_mapside"] = time.time() - t0
+
     # q2: distributed decode
     t0 = time.time()
     decoded = decode_table(chunks_on_disk)
@@ -107,6 +114,7 @@ def main() -> None:
         "rows": rows,
         "n_values": n_values,
         "encode_tokens_per_sec": round(n_values / timings["q1_encode"]),
+        "encode_mapside_tokens_per_sec": round(n_values / timings["q1b_encode_mapside"]),
         "decode_tokens_per_sec": round(n_values / timings["q2_decode"]),
         "enc_bytes": enc_bytes,
         "orig_bytes": orig_bytes,

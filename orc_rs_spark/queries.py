@@ -305,13 +305,42 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_pq(spark, sf_dir, "documents"))
 
 
-@register("quality_score", None)  # heuristic; validated in pytest, rows-only here
+@register(
+    "quality_score",
+    """
+    WITH st AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS stops
+      FROM documents)
+    SELECT doc_id,
+           round(
+             (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+             + least(stops/5.0, 1.0) * 0.4 + 0.2
+             - least(CAST(n_punct AS DOUBLE)/greatest(n_chars,1) * 4, 0.2)
+             - least(CAST(n_digits AS DOUBLE)/greatest(n_chars,1) * 2, 0.2), 4) AS quality
+    FROM st
+    """,
+)
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_pq(spark, sf_dir, "documents"))
 
 
-@register("langid", None)  # heuristic; validated in pytest, rows-only here
+@register(
+    "langid",
+    """
+    WITH c AS (SELECT doc_id, len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS c_en, len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS c_de, len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est','un','une','pour','dans','que'))) AS c_fr, len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y','es','un','una','para','en','que'))) AS c_es FROM documents),
+    b AS (SELECT doc_id, list_max([{'h': c_en, 'l': 'en'}, {'h': c_de, 'l': 'de'}, {'h': c_fr, 'l': 'fr'}, {'h': c_es, 'l': 'es'}]) AS best FROM c)
+    SELECT doc_id, CASE WHEN best.h > 0 THEN best.l ELSE 'unknown' END AS pred_lang FROM b
+    """,
+)
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language id; the oracle mirrors the argmax (ties by
+    lang string, matching Spark's struct array_max) via DuckDB list_max
+    over (hits, lang) structs."""
     return langid(_pq(spark, sf_dir, "documents"))
 
 
