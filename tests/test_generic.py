@@ -85,3 +85,34 @@ def test_generic_spark_roundtrip_lineitem(spark):
     a = sorted(map(str, df.collect()))
     b = sorted(map(str, out.collect()))
     assert a == b
+
+
+# ------------------------------------------------- hypothesis differential
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=120),
+    st.lists(st.text(max_size=24), min_size=0, max_size=120),
+    st.lists(st.booleans(), min_size=0, max_size=120),
+    st.lists(st.floats(allow_nan=False, width=64), min_size=0, max_size=120),
+)
+def test_generic_fuzz_roundtrip(ints, texts, flags, floats):
+    n = min(len(ints), len(texts), len(flags), len(floats))
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(ints[:n], type=pa.int64()),
+            pa.array(texts[:n]),
+            pa.array(flags[:n]),
+            pa.array(floats[:n], type=pa.float64()),
+        ],
+        names=["i", "t", "f", "x"],
+    )
+    if n == 0:
+        return
+    out = decode_generic_chunk(encode_generic_batch(batch, 0))
+    for name in batch.schema.names:
+        assert batch.column(name).to_pylist() == out.column(name).to_pylist(), name
