@@ -168,7 +168,27 @@ def encode_chunk(
     dense_tokens = tokens.drop_null() if tok_present is not None else tokens
     dense_source = source.drop_null() if src_present is not None else source
     lengths, flat = _list_parts(dense_tokens)
-    # n_tok is derived (== lengths); encode lengths once and reuse on decode
+    # decode_chunk reconstructs int32 tokens/offsets; reject inputs that
+    # would silently truncate (ADVICE r01: range-validate at encode time)
+    min_val = int(flat.min()) if len(flat) else 0
+    max_val = int(flat.max()) if len(flat) else 0
+    if min_val < -(1 << 31) or max_val >= (1 << 31):
+        raise ValueError(
+            f"token values [{min_val}, {max_val}] exceed int32; chunk format "
+            "v2 stores int32 tokens — split the column or widen the format"
+        )
+    if len(flat) >= (1 << 31):
+        raise ValueError("chunk too large: total token count must be < 2^31")
+    # n_tok is documented as derived (== size(tokens)); a mismatching input
+    # would round-trip to silently altered n_tok, so verify it cheaply here
+    if "n_tok" in batch.schema.names:
+        ntok = batch.column("n_tok")
+        if tok_present is not None:
+            ntok = ntok.filter(pa.array(tok_present))
+        if ntok.null_count or not np.array_equal(
+            ntok.to_numpy(zero_copy_only=False).astype(np.int64), lengths
+        ):
+            raise ValueError("n_tok must equal size(tokens): n_tok is derived")
     c_doc, s_doc = encode_strings_auto(doc_id)
     c_len, s_len = encode_ints_auto(lengths)
     # row-aligned RLEv2 frames: token regimes are per-document, so frames
@@ -215,8 +235,8 @@ def encode_chunk(
         "bloom": _maybe_bloom(flat) if build_bloom else b"",
         "orig_bytes": int(orig_bytes),
         "enc_bytes": sum(len(s) for s in streams),
-        "min_val": int(flat.min()) if len(flat) else 0,
-        "max_val": int(flat.max()) if len(flat) else 0,
+        "min_val": min_val,
+        "max_val": max_val,
     }
 
 

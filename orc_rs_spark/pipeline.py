@@ -42,8 +42,10 @@ CHECKPOINT_DDL = (
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    # pmod, not abs(..)%n: abs(Long.MIN_VALUE) stays negative, which would
+    # put ~2^-64 of rows in a bucket no wave ever selects (silent data loss)
     return df.withColumn(
-        "part_key", (F.abs(F.xxhash64("doc_id")) % F.lit(n_buckets)).cast("int")
+        "part_key", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
 
 

@@ -94,13 +94,26 @@ def token_table_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rt_engine_tokens",
-    "SELECT doc_id, tokens, n_tok, source FROM (" + TOKEN_TABLE_SQL + ") t",
+    """
+    SELECT t.doc_id AS doc_id, n_tok, source,
+           CAST(u.i - 1 AS INT) AS pos, tokens[u.i] AS token
+    FROM ("""
+    + TOKEN_TABLE_SQL
+    + """) t, unnest(range(1, len(tokens)+1)) AS u(i)
+    """,
 )
 def rt_engine_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine round-trip: encode -> chunk table -> decode."""
+    """Full engine round-trip: encode -> chunk table -> decode.
+
+    Output is exploded to one row per (doc, pos, token) so every decoded
+    token is individually value-hashed against the oracle (the driver's
+    canonicalizer cannot hash array<> columns)."""
     df = token_table_from_events(spark, sf_dir)
     chunks = encode_table(df, partitions=4)
-    return decode_table(chunks)
+    decoded = decode_table(chunks)
+    return decoded.select(
+        "doc_id", "n_tok", "source", F.posexplode("tokens").alias("pos", "token")
+    )
 
 
 @register(
@@ -261,8 +274,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_topk_lsh", None)  # approximate by design: rows-only check
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_hint from the parquet footer (catalog-stats read, no data scan) —
+    ann_topk_lsh refuses to derive n with a count() action."""
+    import pyarrow.dataset as ds
+
+    n = ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
     emb = _pq(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
+    return ann_topk_lsh(
+        emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10, n_hint=int(n)
+    )
 
 
 @register(
@@ -357,9 +377,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_features", None)  # decode is stubbed: rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (decode is a documented stub) — but the output must still
+    canonicalize, so the feature vector is exploded to scalar rows."""
     from orc_rs_spark.textops.multimodal import attach_media, extract_features
 
-    return extract_features(attach_media(_pq(spark, sf_dir, "documents")))
+    feats = extract_features(attach_media(_pq(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id", "media_type", "width", "height",
+        F.posexplode("feature").alias("pos", "fval"),
+    ).withColumn("fval", F.col("fval").cast("double"))
 
 
 # ==================================================== typed column codecs
@@ -518,21 +544,37 @@ def rt_generic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _generic_roundtrip(spark, sf_dir, "events")
 
 
-@register("rt_generic_embeddings", "SELECT * FROM embeddings")
+@register(
+    "rt_generic_embeddings",
+    """
+    SELECT vec_id, label, CAST(u.i - 1 AS INT) AS pos,
+           CAST(embedding[u.i] AS DOUBLE) AS val
+    FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)
+    """,
+)
 def rt_generic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole embeddings table including the list<float> column (float-list
-    stream = LENGTH + raw/BSS float payload)."""
-    return _generic_roundtrip(spark, sf_dir, "embeddings")
+    stream = LENGTH + raw/BSS float payload). Exploded to one row per
+    (vec_id, pos, val) so each float is bit-checked (float32->float64 cast
+    is exact, so both sides hash identically)."""
+    rt = _generic_roundtrip(spark, sf_dir, "embeddings")
+    return rt.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
 
 
 @register(
     "rt_generic_decimal",
-    "SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem",
+    "SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price "
+    "FROM lineitem",
 )
 def rt_generic_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5: decimal128 (p<=18) as unscaled int64 mantissas through the int
-    codecs."""
+    codecs. Output cast to DOUBLE on both sides: the driver value-hashes
+    Python Decimal differently from DuckDB's decimal->pandas conversion,
+    so the comparison is type-aligned (the cast is exact for 12,2)."""
     df = _pq(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price")
     )
-    return decode_generic_table(encode_generic_table(df), "price decimal(12,2)")
+    rt = decode_generic_table(encode_generic_table(df), "price decimal(12,2)")
+    return rt.select(F.col("price").cast("double").alias("price"))

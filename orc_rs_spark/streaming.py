@@ -71,9 +71,19 @@ def streaming_dedup(
     text digest is seen, across micro-batches (custom stateful operator via
     ``applyInPandasWithState``; state = digests seen per hash-prefix group).
 
-    Scale posture: state is keyed by a 256-way digest prefix, so state rows
-    spread uniformly over executors and each group's state is a flat digest
-    set (bounded by distinct docs, the minimum any exact dedup must hold).
+    Scale posture: state is keyed by a 65536-way digest prefix (4 hex
+    chars), so state rows spread uniformly over executors and each group's
+    state stays small; digests are stored as fixed-width 16-byte binaries
+    (not 32-char hex strings), halving state size.
+
+    CAVEAT (unbounded state): exact dedup must remember every distinct
+    digest forever — state grows linearly with distinct documents and this
+    operator sets no TTL (a timeout would silently re-admit old
+    duplicates). A long-running stream should bound the keyspace upstream
+    (e.g. partition the stream by date and restart state per partition) or
+    accept the linear growth; each group's per-batch rewrite cost is
+    state_size/65536, which stays small until state is far past the point
+    where an external join-based dedup is the right tool.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -82,8 +92,10 @@ def streaming_dedup(
     stream = (
         spark.readStream.schema(f"{key_col} string, {text_col} string")
         .parquet(input_dir)
-        .withColumn("digest", F.md5(F.col(text_col)))
-        .withColumn("grp", F.substring("digest", 1, 2))
+        .withColumn("digest_hex", F.md5(F.col(text_col)))
+        .withColumn("digest", F.unhex(F.col("digest_hex")))
+        .withColumn("grp", F.substring("digest_hex", 1, 4))
+        .drop("digest_hex")
     )
 
     def dedup_group(key, pdf_iter, state: GroupState):
@@ -100,8 +112,8 @@ def streaming_dedup(
 
     deduped = stream.groupBy("grp").applyInPandasWithState(
         dedup_group,
-        outputStructType=f"{key_col} string, {text_col} string, digest string",
-        stateStructType="seen array<string>",
+        outputStructType=f"{key_col} string, {text_col} string, digest binary",
+        stateStructType="seen array<binary>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

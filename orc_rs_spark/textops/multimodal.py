@@ -29,25 +29,23 @@ FEATURE_DDL = "doc_id bigint, media_type string, width int, height int, feature 
 
 def attach_media(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Synthesize an opaque binary payload per document (utf-8 bytes of the
-    text stand in for an image/audio blob) plus typed metadata columns."""
+    text stand in for an image/audio blob) plus typed metadata columns.
 
-    def mk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            if b.num_rows == 0:
-                continue
-            texts = b.column(text_col)
-            payload = texts.cast(pa.binary())
-            n_bytes = pa.compute.binary_length(payload).cast(pa.int64())
-            checksums = pa.array(
-                [hashlib.md5(x.as_py()).hexdigest() for x in payload], type=pa.string()
-            )
-            mt = pa.array(["image/fake"] * b.num_rows)
-            yield pa.RecordBatch.from_arrays(
-                [b.column(key_col), payload, mt, n_bytes, checksums],
-                names=["doc_id", "payload", "media_type", "n_bytes", "checksum"],
-            )
+    Pure JVM expressions (whole-stage codegen, zero Python): encode ->
+    octet_length -> md5. Only the *decode* of real media needs Python."""
+    from pyspark.sql import functions as F
 
-    return docs.select(key_col, text_col).mapInArrow(mk, MEDIA_DDL)
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    ).select(
+        "doc_id",
+        "payload",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
 
 
 def _decode_image(payload: bytes) -> np.ndarray:

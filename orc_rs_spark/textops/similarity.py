@@ -67,6 +67,14 @@ def hyperplane_signatures(
     return embeddings.select("vec_id", "embedding").mapInArrow(sign_batches, "vec_id bigint, sig bigint")
 
 
+def default_bits(n: int) -> int:
+    """Signature width for an n-vector corpus: ~log2(n/64). Finer signatures
+    than the corpus size send every true neighbor to its own bucket and
+    recall collapses (measured recall@10 = 0 with 8 bits over 500 random
+    vectors)."""
+    return max(2, min(16, int(np.log2(max(2, n / 64)))))
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -75,19 +83,28 @@ def ann_topk_lsh(
     dim: int = 64,
     seed: int = 42,
     n_hint: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """ANN: exact top-k within the query's LSH bucket plus all buckets at
     Hamming distance <= 2 (multi-probe). Approximate by design; tested for
     recall against cosine_topk, not oracle-matched.
 
-    ``bits`` defaults adaptively to ~log2(n/64): on weakly-correlated
-    corpora, signatures finer than the corpus size send every true neighbor
-    to its own bucket and recall collapses (measured recall@10 = 0 with 8
-    bits over 500 random vectors).
+    ``bits`` defaults to ``default_bits(n_hint)``; one of ``bits``/``n_hint``
+    is required — deriving n with a count() action would add a full scan
+    ahead of the real job (get n from catalog stats / parquet footers).
+
+    ``sigs`` lets the caller pass a precomputed (persisted) signature table
+    from :func:`hyperplane_signatures` with the same bits/dim/seed, so the
+    per-query cost is one bucket filter + small join, not a signature
+    recompute over the corpus — the scale path for repeated queries.
     """
     if bits is None:
-        n = n_hint if n_hint is not None else embeddings.count()
-        bits = max(2, min(16, int(np.log2(max(2, n / 64)))))
+        if n_hint is None:
+            raise ValueError(
+                "pass bits= or n_hint= (catalog row count); ann_topk_lsh will "
+                "not run a count() scan to derive it"
+            )
+        bits = default_bits(n_hint)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, bits)).astype(np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -97,7 +114,8 @@ def ann_topk_lsh(
         probes.add(qsig ^ (1 << i))
         for j in range(i + 1, bits):
             probes.add(qsig ^ (1 << i) ^ (1 << j))
-    sigs = hyperplane_signatures(embeddings, bits=bits, dim=dim, seed=seed)
+    if sigs is None:
+        sigs = hyperplane_signatures(embeddings, bits=bits, dim=dim, seed=seed)
     cand = sigs.where(F.col("sig").isin([int(p) for p in probes])).select("vec_id")
     sub = embeddings.join(F.broadcast(cand), "vec_id")
     return cosine_topk(sub, query_vec, k)

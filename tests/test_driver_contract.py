@@ -37,7 +37,7 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert set(df.columns) == {"doc_id", "tokens", "n_tok", "source"}
+    assert set(df.columns) == {"doc_id", "n_tok", "source", "pos", "token"}
 
 
 @pytest.mark.spark
