@@ -244,14 +244,62 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_pq(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_embedding_cosine",
+# The oracle recomputes the SimHash signatures from scratch in SQL (md5-60
+# word hashes make that possible) and checks ALL pairs exactly; the Spark
+# side mines candidates through pigeonhole band buckets, so a hash match
+# proves the banding loses no pair (recall exactly 1 by construction).
+_SIMHASH_PAIRS_ORACLE = """
+WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(word),1,15)) AS BIGINT) AS h FROM w),
+bits AS (SELECT doc_id, r.i AS i,
+         SUM(CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h, range(0, 60) r(i) GROUP BY doc_id, r.i),
+sig AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                                ELSE CAST(0 AS BIGINT) END) AS simhash
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS d1, b.doc_id AS d2
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rs_spark.textops.dedup import simhash_pairs
+
+    return simhash_pairs(_pq(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_EMB_PAIRS_ORACLE = (
     "SELECT a.vec_id AS v1, b.vec_id AS v2 FROM embeddings a JOIN embeddings b "
     "ON a.vec_id < b.vec_id "
-    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
 )
+
+
+@register("dedup_embedding_cosine", _EMB_PAIRS_ORACLE)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(_pq(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("dedup_embedding_lsh", _EMB_PAIRS_ORACLE)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH candidates + exact cosine verify; 32x2 bands
+    give P(miss)=9e-8 at cos 0.4, so the exact pair set is its oracle."""
+    from orc_rs_spark.textops.dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _pq(spark, sf_dir, "embeddings"), threshold=0.4, bands=32, rows_per_band=2
+    )
+
+
+@register("dedup_embedding_blocked", _EMB_PAIRS_ORACLE)
+def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiled-matmul exact pairs (the scale path when the threshold is too
+    low for LSH pruning)."""
+    from orc_rs_spark.textops.dedup import embedding_block_pairs
+
+    return embedding_block_pairs(_pq(spark, sf_dir, "embeddings"), threshold=0.4, block_size=128)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:

@@ -135,12 +135,30 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 63) -> DataFrame:
-    """63-bit SimHash: per-word xxhash64, sign-aggregate each bit, rebuild.
+def _word_hash64(col, hash_fn: str):
+    """Per-word 64-bit hash. ``xxhash64`` is the fast production path;
+    ``md5_60`` (60 bits from the md5 hex prefix) is bit-reproducible in
+    ANSI SQL, which lets an external system (the DuckDB oracle) recompute
+    identical SimHash signatures."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 63,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash: per-word hash, sign-aggregate each bit, rebuild.
 
     Pure DataFrame expressions (bits unrolled into agg columns, JVM-side).
     """
-    w = word_sets(docs, text_col, key_col).withColumn("h", F.xxhash64("word"))
+    w = word_sets(docs, text_col, key_col).withColumn("h", _word_hash64(F.col("word"), hash_fn))
     aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -153,6 +171,60 @@ def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bi
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return agg.select(key_col, sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 60,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole band bucketing: the signature is split into ``max_hamming+1``
+    bands; two signatures within Hamming k MUST agree exactly on at least
+    one band, so an equi-join on (band_idx, band_value) finds every true
+    pair — recall is exactly 1, not probabilistic. Candidates are then
+    verified JVM-side with bit_count(xor) <= k. Shuffle volume is
+    (k+1) rows per document (linear); bucket sizes stay tiny because a
+    15-bit band collides only for genuinely similar text.
+    """
+    nb = max_hamming + 1
+    width = bits // nb
+    sig = simhash(docs, text_col, key_col, bits=bits, hash_fn=hash_fn)
+    # last band absorbs the remainder bits
+    widths = [width] * (nb - 1) + [bits - width * (nb - 1)]
+    offs = [width * i for i in range(nb)]
+    band_vals = [
+        (F.shiftrightunsigned(F.col("simhash"), offs[b]).bitwiseAND(F.lit((1 << widths[b]) - 1))).alias(
+            f"band{b}"
+        )
+        for b in range(nb)
+    ]
+    banded = sig.select(key_col, "simhash", *band_vals)
+    stacked = banded.select(
+        key_col,
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("val")) for b in range(nb)])
+        ).alias("bv"),
+    ).select(key_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    x, y = stacked.alias("x"), stacked.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col(f"x.{key_col}") < F.col(f"y.{key_col}")),
+        )
+        .where(
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))) <= F.lit(max_hamming)
+        )
+        .select(F.col(f"x.{key_col}").alias("d1"), F.col(f"y.{key_col}").alias("d2"))
+        .distinct()
+    )
 
 
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
@@ -179,6 +251,135 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFr
         .where(F.col("cos") >= threshold)
         .select("v1", "v2")
     )
+
+
+def _verify_cos_pairs(embeddings: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact cosine verification of candidate (v1, v2) pairs: join each side
+    to its (pre-normed) vector, JVM-side zip_with dot product."""
+    dot = lambda l, r: F.aggregate(  # noqa: E731
+        F.zip_with(l, r, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    e = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"), F.col("norm").alias("n1")
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"), F.col("norm").alias("n2")
+    )
+    return (
+        cand.join(a, "v1")
+        .join(b, "v2")
+        .where(dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2")) >= threshold)
+        .select("v1", "v2")
+    )
+
+
+def embedding_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs: banded random-hyperplane LSH
+    candidates + exact cosine verification (the minhash_lsh_pairs pattern
+    applied to vectors). Shuffle volume is ``bands`` rows per vector —
+    linear in corpus size — vs the cartesian join of embedding_dup_pairs.
+
+    Band math: a hyperplane agrees on a pair with p = 1 - arccos(cos)/pi;
+    a pair survives if all rows_per_band bits of any band agree, so
+    P(miss) = (1 - p^r)^bands. Defaults (32x2) give P(miss) = 9e-8 at
+    cos = 0.4 (p = 0.631) — recall ~1, which is what lets the exact-SQL
+    oracle double as this operator's oracle. HONEST LIMIT: at thresholds
+    this low, random pairs (p = 0.5) also collide somewhere in 32 bands
+    with high probability, so pruning only pays for tight near-dups — at
+    cos >= 0.9 (p = 0.856), bands=32 x rows=8 gives P(miss) = 2e-5 while
+    a random pair collides in any band with only ~12% probability; for
+    genuinely low thresholds use embedding_block_pairs instead.
+    """
+    from orc_rs_spark.textops.similarity import band_signatures
+
+    sigs = band_signatures(
+        embeddings, bands=bands, rows_per_band=rows_per_band, dim=dim, seed=seed
+    )
+    stacked = sigs.select(
+        "vec_id", F.posexplode("band_vals").alias("band", "val")
+    )
+    x, y = stacked.alias("x"), stacked.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("v1"), F.col("y.vec_id").alias("v2"))
+        .distinct()
+    )
+    return _verify_cos_pairs(embeddings, cand, threshold)
+
+
+def embedding_block_pairs(
+    embeddings: DataFrame, threshold: float = 0.4, block_size: int = 1024, dim: int = 64
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via tiled matrix multiplication:
+    vectors are grouped into blocks, block pairs are enumerated once
+    (bi <= bj), and each block pair is one BLAS matmul inside mapInArrow.
+
+    This is the scale-correct EXACT path when the threshold is too low for
+    LSH to prune (see embedding_lsh_pairs): the row-level cartesian join of
+    embedding_dup_pairs becomes (n/block)^2 block tasks doing vectorized
+    (block x dim) @ (dim x block) products — same O(n^2 d) flops, but BLAS
+    throughput and block-level (not row-level) shuffle. Honest limit: n^2
+    flops stop being feasible past ~10^7-10^8 vectors on any cluster; past
+    that, near-dup mining needs LSH (tight thresholds) or ANN graphs.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa_mod
+
+    n_parts = max(embeddings.sparkSession.sparkContext.defaultParallelism, 1)
+    blocks = embeddings.select(
+        F.floor(F.col("vec_id") / F.lit(block_size)).cast("long").alias("blk"),
+        "vec_id",
+        "embedding",
+    )
+    packed = blocks.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
+    )
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(n_parts)
+
+    def block_cos(batches: Iterator[pa_mod.RecordBatch]) -> Iterator[pa_mod.RecordBatch]:
+        for batch in batches:
+            rows = batch.to_pylist()
+            for row in rows:
+                ids_a = np.array([v["vec_id"] for v in row["vecs_a"]], dtype=np.int64)
+                mat_a = np.array([v["embedding"] for v in row["vecs_a"]], dtype=np.float64)
+                ids_b = np.array([v["vec_id"] for v in row["vecs_b"]], dtype=np.int64)
+                mat_b = np.array([v["embedding"] for v in row["vecs_b"]], dtype=np.float64)
+                na = np.linalg.norm(mat_a, axis=1)
+                nb = np.linalg.norm(mat_b, axis=1)
+                na[na == 0] = np.inf
+                nb[nb == 0] = np.inf
+                sims = (mat_a / na[:, None]) @ (mat_b / nb[:, None]).T
+                ii, jj = np.nonzero(sims >= threshold)
+                v1, v2 = ids_a[ii], ids_b[jj]
+                keep = v1 < v2  # dedups the diagonal block and orients pairs
+                if keep.any():
+                    yield pa_mod.RecordBatch.from_arrays(
+                        [pa_mod.array(v1[keep]), pa_mod.array(v2[keep])], names=["v1", "v2"]
+                    )
+
+    return pairs.mapInArrow(block_cos, "v1 bigint, v2 bigint")
 
 
 def ngram_sets(

@@ -67,6 +67,50 @@ def hyperplane_signatures(
     return embeddings.select("vec_id", "embedding").mapInArrow(sign_batches, "vec_id bigint, sig bigint")
 
 
+def band_signatures(
+    embeddings: DataFrame, bands: int = 32, rows_per_band: int = 8, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """Per-vector banded SRP signature: (vec_id, array<bigint> of ``bands``
+    values, each packing ``rows_per_band`` hyperplane sign bits). Unlike
+    :func:`hyperplane_signatures` this is not capped at 64 total bits, so
+    band configs with real pruning power (e.g. 32x8) are expressible."""
+    total = bands * rows_per_band
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, total)).astype(np.float64)
+    weights = 1 << np.arange(rows_per_band, dtype=np.uint64)
+
+    def sign_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            emb = b.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(b.num_rows, dim)
+            bits_m = ((mat @ planes) > 0).astype(np.uint64).reshape(b.num_rows, bands, rows_per_band)
+            vals = (bits_m * weights).sum(axis=2).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(list(vals))],
+                names=["vec_id", "band_vals"],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        sign_batches, "vec_id bigint, band_vals array<bigint>"
+    )
+
+
+def band_query_signature(
+    query_vec: list[float], bands: int = 32, rows_per_band: int = 8, dim: int = 64, seed: int = 42
+) -> list[int]:
+    """Band values for one query vector (same planes as band_signatures)."""
+    total = bands * rows_per_band
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, total)).astype(np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    bits_m = ((q @ planes) > 0).astype(np.uint64).reshape(bands, rows_per_band)
+    weights = 1 << np.arange(rows_per_band, dtype=np.uint64)
+    return [int(x) for x in (bits_m * weights).sum(axis=1)]
+
+
 def default_bits(n: int) -> int:
     """Signature width for an n-vector corpus: ~log2(n/64). Finer signatures
     than the corpus size send every true neighbor to its own bucket and

@@ -127,3 +127,65 @@ def test_multimodal_plumbing(spark):
     # deterministic across runs
     feats2 = {r["doc_id"]: r for r in extract_features(attach_media(docs)).collect()}
     assert feats[1]["feature"] == feats2[1]["feature"]
+
+
+@pytest.mark.spark
+def test_simhash_pairs_pigeonhole_equals_bruteforce(spark):
+    """Band-bucketed pair mining must find exactly the brute-force
+    Hamming<=k pair set (pigeonhole recall is exact, not probabilistic)."""
+    from orc_rs_spark.textops.dedup import simhash, simhash_pairs
+
+    docs = _docs_with_dups(spark)
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=60, hash_fn="md5_60").collect()}
+    ids = sorted(sig)
+    expect = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {(r["d1"], r["d2"]) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == expect
+    assert expect, "fixture should contain at least one near-dup pair"
+
+
+def _clustered_embeddings(spark, n_clusters=8, per=6, dim=64):
+    """Tight clusters (cos >= ~0.95 within, ~0 across): the LSH sweet spot."""
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        c = rng.standard_normal(dim)
+        c /= np.linalg.norm(c)
+        for _ in range(per):
+            # noise norm ~0.03*sqrt(64)=0.24 -> within-cluster cos ~0.95
+            v = c + 0.03 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+@pytest.mark.spark
+def test_embedding_lsh_pairs_equals_exact(spark):
+    from orc_rs_spark.textops.dedup import embedding_dup_pairs, embedding_lsh_pairs
+
+    emb = _clustered_embeddings(spark)
+    exact = {(r["v1"], r["v2"]) for r in embedding_dup_pairs(emb, threshold=0.9).collect()}
+    lsh = {
+        (r["v1"], r["v2"])
+        for r in embedding_lsh_pairs(emb, threshold=0.9, bands=32, rows_per_band=8).collect()
+    }
+    assert lsh == exact
+    assert len(exact) >= 8 * 15  # every within-cluster pair qualifies
+
+
+@pytest.mark.spark
+def test_embedding_block_pairs_equals_exact(spark):
+    from orc_rs_spark.textops.dedup import embedding_block_pairs, embedding_dup_pairs
+
+    emb = _clustered_embeddings(spark)
+    exact = {(r["v1"], r["v2"]) for r in embedding_dup_pairs(emb, threshold=0.9).collect()}
+    blocked = {
+        (r["v1"], r["v2"]) for r in embedding_block_pairs(emb, threshold=0.9, block_size=7).collect()
+    }
+    assert blocked == exact
