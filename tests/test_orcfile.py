@@ -1,0 +1,200 @@
+"""Wire-format parity against real ORC files.
+
+Three independent proofs:
+1. Tail parse of the reference's golden files matches the hard-coded
+   expectations in /root/reference/src/tail.rs:232-744.
+2. Decoded data agrees with each file's own footer ColumnStatistics, and
+   demo-11 (Hive 0.11, RLEv1) decodes byte-identically to demo-12 (0.12,
+   RLEv2) — same logical data through two generations of the format.
+3. Spark's native JVM ORC reader and writer agree with this reader on
+   golden files and on freshly written files across zlib/snappy/lz4/none.
+"""
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from orc_rs_spark.orcfile import OrcFileReader, read_tail
+
+GOLD = "/root/reference/src/test/test_files"
+
+# (file, compression, version, rows, content_length, header_length, stride, columns)
+# — the expectations hard-coded at /root/reference/src/tail.rs:243-744
+TAIL_EXPECT = [
+    ("TestOrcFile.testSnappy.orc", "snappy", (0, 12), 10000, 126061, 3, 10000,
+     ["int1", "string1"]),
+    ("nulls-at-end-snappy.orc", "snappy", (0, 12), 70000, 366347, 3, 10000,
+     ["_col0", "_col1", "_col2", "_col3", "_col4", "_col5", "_col6"]),
+    ("TestVectorOrcFile.testLz4.orc", "lz4", (0, 12), 10000, 120952, 3, 10000,
+     ["x", "y", "z"]),
+    ("TestVectorOrcFile.testZstd.0.12.orc", "zstd", (0, 12), 10000, 120734, 3, 10000,
+     ["x", "y", "z"]),
+    ("demo-11-zlib.orc", "zlib", (0, 11), 1920800, 396823, 3, 10000,
+     ["_col" + str(i) for i in range(9)]),
+    ("demo-12-zlib.orc", "zlib", (0, 12), 1920800, 45592, 3, 10000,
+     ["_col" + str(i) for i in range(9)]),
+    ("orc-file-11-format.orc", "none", (0, 11), 7500, 372542, 3, 10000,
+     ["boolean1", "byte1", "short1", "int1", "long1", "float1", "double1",
+      "bytes1", "string1", "middle", "list", "map", "ts", "decimal1"]),
+]
+
+
+@pytest.mark.parametrize("name,comp,ver,rows,content,hdr,stride,cols",
+                         TAIL_EXPECT, ids=[t[0] for t in TAIL_EXPECT])
+def test_tail_matches_reference_expectations(name, comp, ver, rows, content, hdr, stride, cols):
+    t = read_tail(f"{GOLD}/{name}")
+    assert t.postscript.compression == comp
+    assert t.postscript.version == ver
+    assert t.footer.number_of_rows == rows
+    assert t.footer.content_length == content
+    assert t.footer.header_length == hdr
+    assert t.footer.row_index_stride == stride
+    assert t.schema_names == cols
+
+
+def _check_stats(reader, table):
+    """Decoded data must reproduce the footer's own column statistics."""
+    stats = reader.tail.footer.statistics
+    types = reader.tail.footer.types
+    for i, name in enumerate(table.column_names):
+        col_id = types[0].subtypes[i]
+        st = stats[col_id]
+        col = table.column(name)
+        if st.number_of_values is not None:
+            assert table.num_rows - col.null_count == st.number_of_values, name
+        if st.int_sum is not None:
+            assert pc.sum(col).as_py() == st.int_sum, name
+            assert pc.min(col).as_py() == st.int_min, name
+            assert pc.max(col).as_py() == st.int_max, name
+        if st.string_sum is not None:
+            assert pc.sum(pc.utf8_length(col)).as_py() == st.string_sum, name
+            mm = pc.min_max(col)
+            assert mm["min"].as_py() == st.string_min, name
+            assert mm["max"].as_py() == st.string_max, name
+        if st.double_sum is not None:
+            mm = pc.min_max(col)
+            assert mm["min"].as_py() == pytest.approx(st.double_min), name
+            assert mm["max"].as_py() == pytest.approx(st.double_max), name
+        if st.true_count is not None:
+            assert pc.sum(col.cast("int64")).as_py() == st.true_count, name
+
+
+@pytest.mark.parametrize("name", [
+    "demo-12-zlib.orc", "TestOrcFile.testSnappy.orc",
+    "TestVectorOrcFile.testLz4.orc", "nulls-at-end-snappy.orc",
+])
+def test_decode_matches_own_footer_stats(name):
+    r = OrcFileReader(f"{GOLD}/{name}")
+    _check_stats(r, r.read_all())
+
+
+def test_demo11_rlev1_equals_demo12_rlev2():
+    """Same logical data, two format generations (RLEv1 vs RLEv2 paths)."""
+    t11 = OrcFileReader(f"{GOLD}/demo-11-zlib.orc").read_all()
+    t12 = OrcFileReader(f"{GOLD}/demo-12-zlib.orc").read_all()
+    assert t11.num_rows == 1920800
+    assert t11.equals(t12)
+
+
+def test_complex_types_known_values():
+    """orc-file-11-format.orc holds the canonical Apache ORC test content."""
+    t = OrcFileReader(f"{GOLD}/orc-file-11-format.orc").read_all()
+    assert t.num_rows == 7500
+    row0 = t.slice(0, 1).to_pylist()[0]
+    assert row0["boolean1"] is False
+    assert row0["byte1"] == 1
+    assert row0["short1"] == 1024
+    assert row0["int1"] == 65536
+    assert row0["long1"] == 9223372036854775807
+    assert row0["bytes1"] == b"\x00\x01\x02\x03\x04"
+    assert row0["string1"] == "hi"
+    assert row0["middle"]["list"][0] == {"int1": 1, "string1": "bye"}
+    assert row0["map"] == []
+    assert str(row0["decimal1"]) == "12345678.6547456"
+    assert str(row0["ts"]) == "2000-03-12 15:00:00"
+    row1 = t.slice(1, 1).to_pylist()[0]
+    assert dict(row1["map"])["chani"] == {"int1": 5, "string1": "chani"}
+    assert str(row1["ts"]) == "2000-03-12 15:00:01"
+
+
+def test_zstd_raises_clearly():
+    r = OrcFileReader(f"{GOLD}/TestVectorOrcFile.testZstd.0.12.orc")
+    with pytest.raises(ValueError, match="zstd"):
+        r.read_all()
+
+
+# ------------------------------------------------------ Spark cross-checks
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", [
+    "demo-12-zlib.orc", "TestOrcFile.testSnappy.orc", "nulls-at-end-snappy.orc",
+])
+def test_golden_file_matches_spark_native_reader(spark, name):
+    """Row-for-row parity with Spark's JVM ORC reader on golden files."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ours = OrcFileReader(f"{GOLD}/{name}").read_all()
+    theirs = spark.read.orc(f"{GOLD}/{name}").toArrow()
+    ours = ours.combine_chunks().sort_by(ours.column_names[0])
+    theirs = theirs.cast(ours.schema).sort_by(ours.column_names[0])
+    assert ours.equals(theirs.combine_chunks())
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("codec", ["zlib", "snappy", "lz4", "none"])
+def test_spark_written_orc_roundtrip(spark, codec, tmp_path):
+    """Spark writes ORC with each codec; this reader must reproduce the
+    source rows exactly (nulls, strings, floats, dates, arrays via ORC)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(
+            "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_linestatus",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.when(F.col("l_linenumber") % 3 == 0, None)
+            .otherwise(F.col("l_returnflag")).alias("nullable_flag"),
+        )
+    )
+    out = str(tmp_path / f"orc_{codec}")
+    df.coalesce(1).write.option("compression", codec).orc(out)
+    import glob
+
+    [orc_file] = glob.glob(f"{out}/*.orc")
+    ours = OrcFileReader(orc_file).read_all()
+    expect = df.toArrow()
+    keys = ["l_orderkey", "l_linenumber"]
+    ours = ours.cast(expect.schema).combine_chunks().sort_by([(k, "ascending") for k in keys])
+    expect = expect.combine_chunks().sort_by([(k, "ascending") for k in keys])
+    assert ours.equals(expect)
+
+
+@pytest.mark.spark
+def test_distributed_orc_source(spark):
+    """read_orc parallelizes by stripe and agrees with the local reader."""
+    from orc_rs_spark.orcfile.spark_source import read_orc
+
+    df = read_orc(spark, f"{GOLD}/TestOrcFile.testSnappy.orc")
+    assert df.count() == 10000
+    got = df.agg({"int1": "sum"}).collect()[0][0]
+    local = OrcFileReader(f"{GOLD}/TestOrcFile.testSnappy.orc").read_all()
+    assert got == pc.sum(local.column("int1")).as_py()
+
+
+def test_snappy_lz4_kernel_edge_cases():
+    """From-spec decoders: overlap copies, long literals, truncation."""
+    from orc_rs_spark.kernels.lzblocks import lz4_block_decompress, snappy_decompress
+
+    # snappy: literal + overlapping copy (RLE-style)
+    # "ab" literal, then copy offset=2 len=8 -> "ababababab"
+    payload = bytes([10]) + bytes([0b000001_00]) + b"ab" + bytes([(4 << 2) | 1 | (0 << 5), 2])
+    assert snappy_decompress(payload) == b"ab" + b"abababab"
+    # lz4: token lit=2 match=4(min) offset=2 -> "ababab" + tail literals
+    blk = bytes([0x20 | 0x0]) + b"ab" + bytes([2, 0]) + bytes([0x10]) + b"z"
+    assert lz4_block_decompress(blk) == b"ababab" + b"z"
+    with pytest.raises(ValueError):
+        snappy_decompress(bytes([200, 1]))  # truncated
+    with pytest.raises(ValueError):
+        lz4_block_decompress(bytes([0xF0]))  # truncated literal run
