@@ -12,8 +12,22 @@ nulls — and decode it back bit-identically.
 Type -> stream mapping mirrors SURVEY.md §1.2's table:
 int8/16/32/64 -> int codecs; float/double -> float codec (raw/BSS);
 string/binary -> string codecs; boolean -> boolean RLE; date32 -> days
-through int codecs; timestamp -> micros through int codecs;
-list<int*> -> LENGTH stream + flattened values (R12 pattern).
+through int codecs; timestamp -> micros through int codecs.
+
+Composite types (list/struct/map, arbitrarily nested, nullable at every
+level) use a recursive self-delimiting FRAME, the generic analogue of the
+reference's type-tree reader factory
+(/root/reference/src/column_reader/complex_type_reader.rs:13-156):
+
+    frame := varint(len(present_rle)) present_rle   # 0 -> no nulls
+             varint(len(tag)) tag                   # utf-8 codec tag
+             varint(len(payload)) payload
+
+leaf payload = dense codec bytes; list/map payload = LENGTH stream +
+child frame(s); struct payload = concatenated child frames. Decimal
+precision <= 18 rides the int codecs on the low mantissa word; wider
+decimals split the i128 into lo/hi 64-bit streams (dec2), matching the
+reference's i128 mantissa path (numeric_reader.rs:314-383).
 """
 
 from __future__ import annotations
@@ -75,12 +89,18 @@ def _encode_column(arr: pa.Array) -> tuple[str, bytes]:
         # reference decodes zigzag-varint mantissas + a scale stream,
         # /root/reference/src/column_reader/numeric_reader.rs:314-383;
         # here scale is fixed per column so it lives in the schema)
-        if t.precision > 18:
-            raise TypeError(f"decimal precision > 18 unsupported: {t}")
         words = np.frombuffer(arr.buffers()[1], dtype=np.int64).reshape(-1, 2)
-        unscaled = words[arr.offset : arr.offset + len(arr), 0].copy()
-        codec, enc = encode_ints_auto(unscaled)
-        return f"dec:{codec}", enc
+        words = words[arr.offset : arr.offset + len(arr)]
+        if t.precision <= 18:
+            codec, enc = encode_ints_auto(words[:, 0].copy())
+            return f"dec:{codec}", enc
+        # i128 two-word path: lo (unsigned, stored via signed view) + hi
+        lo = words[:, 0].copy()
+        hi = words[:, 1].copy()
+        lc, lenc = encode_ints_auto(lo)
+        hc, henc = encode_ints_auto(hi)
+        hdr = varint_encode(np.array([len(lenc)], dtype=np.uint64))
+        return f"dec2:{lc}:{hc}", hdr + lenc + henc
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         codec, enc = encode_strings_auto(arr)
         return f"str:{codec}", enc
@@ -88,15 +108,17 @@ def _encode_column(arr: pa.Array) -> tuple[str, bytes]:
         # binary reuses the string machinery on raw bytes (R8)
         codec, enc = encode_strings_auto(arr)
         return f"bin:{codec}", enc
-    if pa.types.is_list(t) and pa.types.is_integer(t.value_type):
+    if pa.types.is_list(t) and pa.types.is_integer(t.value_type) and arr.flatten().null_count == 0:
         offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lengths = np.diff(offsets)
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) >= (1 << 31):
+            raise ValueError("list chunk too large: values must be < 2^31")
         lc, lenc = encode_ints_auto(lengths)
         vc, venc = encode_ints_auto(flat, boundaries=np.cumsum(lengths))
         hdr = varint_encode(np.array([len(lenc), len(flat)], dtype=np.uint64))
         return f"list:{lc}:{vc}", hdr + lenc + venc
-    if pa.types.is_list(t) and pa.types.is_floating(t.value_type):
+    if pa.types.is_list(t) and pa.types.is_floating(t.value_type) and arr.flatten().null_count == 0:
         offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lengths = np.diff(offsets)
         flat = arr.flatten().to_numpy(zero_copy_only=False)
@@ -104,7 +126,114 @@ def _encode_column(arr: pa.Array) -> tuple[str, bytes]:
         venc = float_encode(flat)
         hdr = varint_encode(np.array([len(lenc), len(flat)], dtype=np.uint64))
         return f"flist:{lc}", hdr + lenc + venc
+    if pa.types.is_list(t) or pa.types.is_map(t) or pa.types.is_struct(t):
+        return _encode_composite(arr)
     raise TypeError(f"unsupported column type for generic encode: {t}")
+
+
+# --------------------------------------------------- recursive frame format
+
+
+def _frame_bytes(present: np.ndarray | None, tag: str, payload: bytes) -> bytes:
+    parts = []
+    if present is None:
+        parts.append(varint_encode(np.array([0], dtype=np.uint64)))
+    else:
+        prle = boolean_rle_encode(present)
+        parts.append(varint_encode(np.array([len(prle)], dtype=np.uint64)))
+        parts.append(prle)
+    tb = tag.encode()
+    parts.append(varint_encode(np.array([len(tb)], dtype=np.uint64)))
+    parts.append(tb)
+    parts.append(varint_encode(np.array([len(payload)], dtype=np.uint64)))
+    parts.append(payload)
+    return b"".join(parts)
+
+
+def encode_frame(arr: pa.Array) -> bytes:
+    """Self-delimiting recursive frame for an arbitrary (nullable) array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    present = _validity(arr)
+    dense = arr.drop_null() if present is not None else arr
+    t = dense.type
+    if pa.types.is_struct(t):
+        payload = b"".join(encode_frame(dense.field(i)) for i in range(t.num_fields))
+        return _frame_bytes(present, f"struct:{t.num_fields}", payload)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offsets = dense.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        lc, lenc = encode_ints_auto(lengths)
+        hdr = varint_encode(np.array([len(lenc)], dtype=np.uint64))
+        return _frame_bytes(present, f"Lst:{lc}", hdr + lenc + encode_frame(dense.flatten()))
+    if pa.types.is_map(t):
+        offsets = dense.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        lc, lenc = encode_ints_auto(lengths)
+        hdr = varint_encode(np.array([len(lenc)], dtype=np.uint64))
+        return _frame_bytes(
+            present, f"Map:{lc}", hdr + lenc + encode_frame(dense.keys) + encode_frame(dense.items)
+        )
+    tag, payload = _encode_column(dense)
+    return _frame_bytes(present, tag, payload)
+
+
+def _encode_composite(arr: pa.Array) -> tuple[str, bytes]:
+    """Composite column entry point: the whole column is one frame (its own
+    PRESENT is inside the frame, so the caller wraps an all-valid prefix)."""
+    return "frame", encode_frame(arr)
+
+
+def _read_varint_py(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+
+
+def decode_frame(buf: bytes, pos: int, n: int, dtype: pa.DataType) -> tuple[pa.Array, int]:
+    """Decode one frame at ``pos`` expecting ``n`` rows of ``dtype``."""
+    plen, pos = _read_varint_py(buf, pos)
+    present = None
+    if plen:
+        present = boolean_rle_decode(np.frombuffer(buf[pos : pos + plen], dtype=np.uint8), n)
+        present = present.astype(bool)
+        pos += plen
+    n_dense = int(present.sum()) if present is not None else n
+    tlen, pos = _read_varint_py(buf, pos)
+    tag = buf[pos : pos + tlen].decode()
+    pos += tlen
+    paylen, pos = _read_varint_py(buf, pos)
+    end = pos + paylen
+    if tag.startswith("struct:"):
+        fields = []
+        for i in range(dtype.num_fields):
+            child, pos = decode_frame(buf, pos, n_dense, dtype.field(i).type)
+            fields.append(child)
+        dense = pa.StructArray.from_arrays(fields, names=[dtype.field(i).name for i in range(dtype.num_fields)])
+    elif tag.startswith(("Lst:", "Map:")):
+        lc = tag.partition(":")[2]
+        llen, pos = _read_varint_py(buf, pos)
+        lengths = INT_CODECS[lc][1](np.frombuffer(buf[pos : pos + llen], dtype=np.uint8), n_dense)
+        pos += llen
+        offsets = pa.array(np.concatenate(([0], np.cumsum(lengths))).astype(np.int32))
+        n_child = int(lengths.sum())
+        if tag.startswith("Lst:"):
+            child, pos = decode_frame(buf, pos, n_child, dtype.value_type)
+            dense = pa.ListArray.from_arrays(offsets, child)
+        else:
+            keys, pos = decode_frame(buf, pos, n_child, dtype.key_type)
+            items, pos = decode_frame(buf, pos, n_child, dtype.item_type)
+            dense = pa.MapArray.from_arrays(offsets, keys, items)
+    else:
+        dense = _decode_column(tag, buf[pos:end], n_dense, dtype)
+        pos = end
+    return _scatter(dense, present), pos
 
 
 def _decode_column(tag: str, payload: bytes, n: int, dtype: pa.DataType) -> pa.Array:
@@ -126,6 +255,19 @@ def _decode_column(tag: str, payload: bytes, n: int, dtype: pa.DataType) -> pa.A
         pairs[:, 0] = unscaled
         pairs[:, 1] = unscaled >> 63  # sign extension of the high word
         return pa.Array.from_buffers(dtype, n, [None, pa.py_buffer(pairs.tobytes())])
+    if kind == "dec2":
+        lc, _, hc = rest.partition(":")
+        b = bytes(payload)
+        llen, used = _read_varint_py(b, 0)
+        lo = INT_CODECS[lc][1](np.frombuffer(b[used : used + llen], dtype=np.uint8), n)
+        hi = INT_CODECS[hc][1](np.frombuffer(b[used + llen :], dtype=np.uint8), n)
+        pairs = np.empty((n, 2), dtype=np.int64)
+        pairs[:, 0] = lo
+        pairs[:, 1] = hi
+        return pa.Array.from_buffers(dtype, n, [None, pa.py_buffer(pairs.tobytes())])
+    if kind == "frame":
+        arr, _ = decode_frame(bytes(payload), 0, n, dtype)
+        return arr
     if kind in ("str", "bin"):
         out = STR_CODECS[rest][1](payload, n)
         return out.cast(dtype) if out.type != dtype else out

@@ -612,6 +612,60 @@ def rt_generic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rt_generic_nested",
+    """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, source AS src,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           md5(array_to_string(string_split(text, ' '), chr(31))) AS words_md5
+    FROM documents
+    """,
+)
+def rt_generic_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested generic round-trip: struct + map + list<string> columns go
+    through the recursive frame encoder and back; the output re-projects
+    scalars from the DECODED nested values, so a hash match proves the
+    nesting round-tripped bit-identically."""
+    docs = _pq(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.struct(F.col("lang").alias("l"), F.col("n_chars").alias("n")).alias("meta"),
+        F.create_map(F.lit("src"), F.col("source")).alias("m"),
+        F.split("text", " ").alias("words"),
+    )
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    rt = decode_generic_table(encode_generic_table(df), ddl)
+    return rt.select(
+        "doc_id",
+        F.col("meta.l").alias("lang"),
+        F.col("meta.n").alias("n_chars"),
+        F.col("m")[F.lit("src")].alias("src"),
+        F.size("words").alias("n_words"),
+        F.md5(F.concat_ws("\x1f", "words")).alias("words_md5"),
+    )
+
+
+@register(
+    "rt_generic_decimal38",
+    "SELECT CAST(CAST(CAST(l_orderkey AS VARCHAR) || '1234567890.1234567891' "
+    "AS DECIMAL(38,10)) AS VARCHAR) AS amount FROM lineitem",
+)
+def rt_generic_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 extension: decimal(38,10) through the two-word i128 mantissa path
+    (dec2), matching the reference's i128 decode
+    (src/column_reader/numeric_reader.rs:314-383). Mantissas are ~26 digits
+    (hi word exercised); values built from identical strings on both sides
+    because Spark and DuckDB infer different types for decimal arithmetic,
+    and compared as strings — 38 digits exceed double precision."""
+    df = _pq(spark, sf_dir, "lineitem").select(
+        F.concat(F.col("l_orderkey").cast("string"), F.lit("1234567890.1234567891"))
+        .cast("decimal(38,10)")
+        .alias("amount")
+    )
+    rt = decode_generic_table(encode_generic_table(df), "amount decimal(38,10)")
+    return rt.select(F.col("amount").cast("string").alias("amount"))
+
+
+@register(
     "rt_generic_decimal",
     "SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price "
     "FROM lineitem",

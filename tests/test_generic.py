@@ -70,8 +70,10 @@ def test_generic_batch_roundtrip_all_types():
 
 
 def test_generic_unsupported_type_raises():
+    # struct/list/map are supported since the recursive frame format;
+    # duration has no codec mapping and must fail loudly, not corrupt
     b = pa.RecordBatch.from_arrays(
-        [pa.array([{"a": 1}], type=pa.struct([("a", pa.int64())]))], names=["st"]
+        [pa.array(np.array([1, 2], dtype="timedelta64[s]"))], names=["d"]
     )
     with pytest.raises(TypeError, match="unsupported column type"):
         encode_generic_batch(b, 0)
@@ -116,3 +118,68 @@ def test_generic_fuzz_roundtrip(ints, texts, flags, floats):
     out = decode_generic_chunk(encode_generic_batch(batch, 0))
     for name in batch.schema.names:
         assert batch.column(name).to_pylist() == out.column(name).to_pylist(), name
+
+
+def test_recursive_frames_nested_types():
+    """list<string>/struct/map/deep nesting with nulls at every level."""
+    import pyarrow as pa
+
+    from orc_rs_spark.generic import decode_frame, encode_frame
+
+    cases = [
+        pa.array([["a", "bb", None], ["x"], None, [], ["zz", "q"]]),
+        pa.array(
+            [{"i": 1, "s": "x", "l": [1, 2]}, None, {"i": None, "s": "y", "l": []}],
+            type=pa.struct([("i", pa.int64()), ("s", pa.string()), ("l", pa.list_(pa.int32()))]),
+        ),
+        pa.array([[("k1", 1.5)], [], None, [("z", -0.0)]], type=pa.map_(pa.string(), pa.float64())),
+        pa.array(
+            [[{"m": [("a", 1)]}, {"m": []}], None, [{"m": None}]],
+            type=pa.list_(pa.struct([("m", pa.map_(pa.string(), pa.int64()))])),
+        ),
+        pa.array([[[1, None, 3], []], None, [[7]]], type=pa.list_(pa.list_(pa.int64()))),
+    ]
+    for arr in cases:
+        out, consumed = decode_frame(encode_frame(arr), 0, len(arr), arr.type)
+        assert out.equals(arr), arr.type
+        assert consumed == len(encode_frame(arr))
+
+
+def test_decimal38_two_word_mantissa():
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from orc_rs_spark.generic import decode_frame, encode_frame
+
+    vals = [
+        Decimal("1234567890123456789012345678.0123456789"),
+        Decimal("-9876543210987654321098765432.1098765432"),
+        None,
+        Decimal("0"),
+        Decimal("-0.0000000001"),
+    ]
+    arr = pa.array(vals, type=pa.decimal128(38, 10))
+    out, _ = decode_frame(encode_frame(arr), 0, len(arr), arr.type)
+    assert out.equals(arr)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.text(max_size=8)), max_size=5),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_frame_fuzz_list_of_strings(rows):
+    import pyarrow as pa
+
+    from orc_rs_spark.generic import decode_frame, encode_frame
+
+    arr = pa.array(rows, type=pa.list_(pa.string()))
+    out, _ = decode_frame(encode_frame(arr), 0, len(arr), arr.type)
+    assert out.equals(arr)
