@@ -513,6 +513,7 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
     plus the patched-base mode it left unimplemented.
     """
     b = np.frombuffer(buf, dtype=np.uint8)
+    mb = bytes(buf) if not isinstance(buf, bytes) else buf  # fast scalar reads
     out = np.empty(count, dtype=np.int64)
     pos = 0
     got = 0
@@ -521,6 +522,11 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
     # encoder: each frame zero-padded to a multiple of 8 values stays
     # byte-aligned and independent)
     direct_frames: dict[int, list[tuple[int, int, int, int]]] = {}  # w -> (got, take, pos, n)
+    # variable-delta frames batch the same way: one bitunpack per width and
+    # ONE global cumsum over all frames' deltas (per-frame values recover as
+    # differences against each frame's running offset; int64 wraparound in
+    # the global cumsum cancels in the difference, mod-2^64 arithmetic)
+    delta_frames: dict[int, list[tuple[int, int, int, int, int, int]]] = {}
     while got < count:
         if pos >= len(b):
             raise ValueError(f"RLEv2 stream truncated at {got}/{count} values")
@@ -573,30 +579,37 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
             w = decode_delta_width((h0 >> 1) & 0x1F)
             n = (((h0 & 1) << 8) | int(b[pos + 1])) + 1
             pos += 2
-            uu, used = varint_decode(b[pos : pos + 10], 1)
-            base = int(zigzag_decode(uu)[0]) if signed else int(uu[0])
-            pos += used
+            u = 0
+            shift = 0
+            while True:  # inline varint: ~40x cheaper than an array call
+                byte = mb[pos]
+                pos += 1
+                u |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            base = ((u >> 1) ^ -(u & 1)) if signed else u
             if n == 1:
                 out[got] = base
             else:
-                uu, used = varint_decode(b[pos : pos + 10], 1)
-                dbase = int(zigzag_decode(uu)[0])
-                pos += used
-                vals = np.empty(n, dtype=np.int64)
-                vals[0] = base
-                if w == 0:  # fixed delta
-                    vals[1:] = base + dbase * np.arange(1, n, dtype=np.int64)
-                else:
-                    nbytes = packed_size(n - 2, w)
-                    mags = bitunpack(b[pos : pos + nbytes], w, n - 2).astype(np.int64)
-                    pos += nbytes
-                    sign = -1 if dbase < 0 else 1
-                    deltas = np.empty(n - 1, dtype=np.int64)
-                    deltas[0] = dbase
-                    deltas[1:] = sign * mags
-                    vals[1:] = base + np.cumsum(deltas)
+                u = 0
+                shift = 0
+                while True:
+                    byte = mb[pos]
+                    pos += 1
+                    u |= (byte & 0x7F) << shift
+                    if not byte & 0x80:
+                        break
+                    shift += 7
+                dbase = (u >> 1) ^ -(u & 1)
                 take = min(n, count - got)
-                out[got : got + take] = vals[:take]
+                if w == 0:  # fixed delta: closed form, no cumsum needed
+                    out[got : got + take] = base + dbase * np.arange(take, dtype=np.int64)
+                else:
+                    # defer: unpack + cumsum happen once per width below
+                    nbytes = packed_size(n - 2, w)
+                    delta_frames.setdefault(w, []).append((got, take, n, base, dbase, pos))
+                    pos += nbytes
         got += n
     for w, frames in direct_frames.items():
         padded_vals = sum((n + 7) // 8 * 8 for _, _, _, n in frames)
@@ -611,4 +624,44 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
         for g, take, _, n in frames:
             out[g : g + take] = vals[voff : voff + take]
             voff += (n + 7) // 8 * 8
+    for w, frames in delta_frames.items():
+        m_counts = np.array([f[2] - 2 for f in frames], dtype=np.int64)
+        padded_counts = (m_counts + 7) // 8 * 8
+        total_padded = int(padded_counts.sum())
+        packed = np.zeros(total_padded * w // 8, dtype=np.uint8)
+        off = 0
+        for (_, _, n, _, _, p), pc in zip(frames, padded_counts.tolist()):
+            nb = packed_size(n - 2, w)
+            packed[off : off + nb] = b[p : p + nb]
+            off += pc * w // 8
+        mags_padded = bitunpack(packed, w, total_padded).view(np.int64)
+        # one delta sequence per frame: [dbase, sign*mag, sign*mag, ...];
+        # padding stripped by per-frame slice writes (frames are ~512 vals,
+        # so this loop is 1/512th of the data volume)
+        d_counts = m_counts + 1
+        d_starts_np = np.cumsum(d_counts) - d_counts
+        d_starts = d_starts_np.tolist()
+        total_d = int(d_counts.sum())
+        deltas = np.empty(total_d, dtype=np.int64)
+        po = 0
+        for i, (_, _, n, _, dbase, _) in enumerate(frames):
+            ds = d_starts[i]
+            deltas[ds] = dbase
+            m = n - 2
+            if m:
+                if dbase < 0:
+                    np.negative(mags_padded[po : po + m], out=deltas[ds + 1 : ds + 1 + m])
+                else:
+                    deltas[ds + 1 : ds + 1 + m] = mags_padded[po : po + m]
+            po += (m + 7) // 8 * 8
+        csum = np.cumsum(deltas)
+        if len(frames) > 1:
+            frame_offs = np.concatenate(([0], csum[d_starts_np[1:] - 1])).tolist()
+        else:
+            frame_offs = [0]
+        for i, (g, take, n, base, dbase, p) in enumerate(frames):
+            out[g] = base
+            if take > 1:
+                a = d_starts[i]
+                out[g + 1 : g + take] = (base - frame_offs[i]) + csum[a : a + take - 1]
     return out
