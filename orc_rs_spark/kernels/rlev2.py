@@ -128,7 +128,7 @@ def _emit_delta(
 
 
 def _patched_plan(
-    n: int, base: int, adj: np.ndarray, bls: np.ndarray, w: int
+    n: int, base: int, adj: np.ndarray, bls: np.ndarray, w: int, min_pll: int = 0
 ) -> tuple[int, tuple] | None:
     """Size a patched-base run at main width ``w`` WITHOUT bit-packing.
 
@@ -161,6 +161,11 @@ def _patched_plan(
             patches = np.array(ep, dtype=np.uint64)
     pll = len(gaps)
     if pll > 31:
+        return None
+    if pll < min_pll:
+        # strict-ORC mode: the canonical Java reader crashes on PLL=0
+        # (ArrayIndexOutOfBounds in readPatchedBaseValues), so files written
+        # for interop never emit the zero-patch frame-of-reference form
         return None
     # patch/gap lists are <=31 entries: scalar bit_length beats array kernels
     pw = closest_direct_width(max((int(x).bit_length() for x in patches.tolist()), default=1) or 1)
@@ -196,13 +201,13 @@ def _patched_build(plan: tuple, adj: np.ndarray) -> list:
 
 
 def _patched_candidate(
-    n: int, base: int, adj: np.ndarray, bls: np.ndarray, w: int
+    n: int, base: int, adj: np.ndarray, bls: np.ndarray, w: int, min_pll: int = 0
 ) -> list | None:
-    sized = _patched_plan(n, base, adj, bls, w)
+    sized = _patched_plan(n, base, adj, bls, w, min_pll)
     return _patched_build(sized[1], adj) if sized else None
 
 
-def _try_patched(v: np.ndarray, out: list) -> bool:
+def _try_patched(v: np.ndarray, out: list, min_pll: int = 0) -> bool:
     """Patched-base: frame-of-reference + patch list for outliers.
 
     Evaluates main widths at the 90/95/100th percentile bit lengths (100th =
@@ -223,7 +228,7 @@ def _try_patched(v: np.ndarray, out: list) -> bool:
     best: list | None = None
     best_size = None
     for w in widths:
-        cand = _patched_candidate(n, base, adj, bls, w)
+        cand = _patched_candidate(n, base, adj, bls, w, min_pll)
         if cand is not None:
             size = sum(len(p) for p in cand)
             if best_size is None or size < best_size:
@@ -234,7 +239,7 @@ def _try_patched(v: np.ndarray, out: list) -> bool:
     return True
 
 
-def _encode_frame(v: np.ndarray, signed: bool, out: list) -> None:
+def _encode_frame(v: np.ndarray, signed: bool, out: list, min_pll: int = 0) -> None:
     """Encode one frame (<=512 values) picking the cheapest sub-mode."""
     n = len(v)
     if n == 0:
@@ -269,7 +274,7 @@ def _encode_frame(v: np.ndarray, signed: bool, out: list) -> None:
             return
     # try patched-base only when it can beat direct
     probe: list = []
-    if n >= 8 and _try_patched(v, probe):
+    if n >= 8 and _try_patched(v, probe, min_pll):
         if sum(len(p) for p in probe) < cost_direct:
             out.extend(probe)
             return
@@ -304,7 +309,10 @@ def _frame_spans(n: int, boundaries: np.ndarray | None) -> tuple[np.ndarray, np.
 
 
 def rlev2_encode(
-    values: np.ndarray, signed: bool = True, boundaries: np.ndarray | None = None
+    values: np.ndarray,
+    signed: bool = True,
+    boundaries: np.ndarray | None = None,
+    strict_orc: bool = False,
 ) -> bytes:
     """Frame-adaptive RLEv2 encode: cheapest sub-mode per frame.
 
@@ -401,7 +409,9 @@ def rlev2_encode(
                 best_plan = None
                 best_size = cost_direct
                 for w in {w90c, wfc}:
-                    sized = _patched_plan(L, int(mins[i]), adj_all[s:e], seg_bls, w)
+                    sized = _patched_plan(
+                        L, int(mins[i]), adj_all[s:e], seg_bls, w, 1 if strict_orc else 0
+                    )
                     if sized is not None and sized[0] < best_size:
                         best_size, best_plan = sized
                 if best_plan is not None:
@@ -624,44 +634,65 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
         for g, take, _, n in frames:
             out[g : g + take] = vals[voff : voff + take]
             voff += (n + 7) // 8 * 8
-    for w, frames in delta_frames.items():
-        m_counts = np.array([f[2] - 2 for f in frames], dtype=np.int64)
-        padded_counts = (m_counts + 7) // 8 * 8
-        total_padded = int(padded_counts.sum())
-        packed = np.zeros(total_padded * w // 8, dtype=np.uint8)
-        off = 0
-        for (_, _, n, _, _, p), pc in zip(frames, padded_counts.tolist()):
-            nb = packed_size(n - 2, w)
-            packed[off : off + nb] = b[p : p + nb]
-            off += pc * w // 8
-        mags_padded = bitunpack(packed, w, total_padded).view(np.int64)
-        # one delta sequence per frame: [dbase, sign*mag, sign*mag, ...];
-        # padding stripped by per-frame slice writes (frames are ~512 vals,
-        # so this loop is 1/512th of the data volume)
-        d_counts = m_counts + 1
-        d_starts_np = np.cumsum(d_counts) - d_counts
-        d_starts = d_starts_np.tolist()
-        total_d = int(d_counts.sum())
-        deltas = np.empty(total_d, dtype=np.int64)
-        po = 0
-        for i, (_, _, n, _, dbase, _) in enumerate(frames):
-            ds = d_starts[i]
-            deltas[ds] = dbase
-            m = n - 2
-            if m:
-                if dbase < 0:
-                    np.negative(mags_padded[po : po + m], out=deltas[ds + 1 : ds + 1 + m])
-                else:
-                    deltas[ds + 1 : ds + 1 + m] = mags_padded[po : po + m]
-            po += (m + 7) // 8 * 8
-        csum = np.cumsum(deltas)
-        if len(frames) > 1:
-            frame_offs = np.concatenate(([0], csum[d_starts_np[1:] - 1])).tolist()
-        else:
-            frame_offs = [0]
-        for i, (g, take, n, base, dbase, p) in enumerate(frames):
-            out[g] = base
-            if take > 1:
-                a = d_starts[i]
-                out[g + 1 : g + take] = (base - frame_offs[i]) + csum[a : a + take - 1]
+    for w, all_frames in delta_frames.items():
+        # tile into ~128K-value groups: amortizes the per-frame Python cost
+        # ~250x while keeping every batched pass (gather, unpack, cumsum)
+        # inside L2/L3 — a global pass re-streams DRAM and loses the win
+        # back at high core counts where bandwidth is the budget
+        group: list = []
+        group_vals = 0
+        groups = []
+        for f in all_frames:
+            group.append(f)
+            group_vals += f[2]
+            if group_vals >= 131072:
+                groups.append(group)
+                group = []
+                group_vals = 0
+        if group:
+            groups.append(group)
+        for frames in groups:
+            _decode_delta_group(frames, w, b, out)
     return out
+
+
+def _decode_delta_group(frames: list, w: int, b: np.ndarray, out: np.ndarray) -> None:
+    m_counts = np.array([f[2] - 2 for f in frames], dtype=np.int64)
+    padded_counts = (m_counts + 7) // 8 * 8
+    total_padded = int(padded_counts.sum())
+    packed = np.zeros(total_padded * w // 8, dtype=np.uint8)
+    off = 0
+    for (_, _, n, _, _, p), pc in zip(frames, padded_counts.tolist()):
+        nb = packed_size(n - 2, w)
+        packed[off : off + nb] = b[p : p + nb]
+        off += pc * w // 8
+    mags_padded = bitunpack(packed, w, total_padded).view(np.int64)
+    # one delta sequence per frame: [dbase, sign*mag, sign*mag, ...];
+    # padding stripped by per-frame slice writes (frames are ~512 vals,
+    # so this loop is 1/512th of the data volume)
+    d_counts = m_counts + 1
+    d_starts_np = np.cumsum(d_counts) - d_counts
+    d_starts = d_starts_np.tolist()
+    total_d = int(d_counts.sum())
+    deltas = np.empty(total_d, dtype=np.int64)
+    po = 0
+    for i, (_, _, n, _, dbase, _) in enumerate(frames):
+        ds = d_starts[i]
+        deltas[ds] = dbase
+        m = n - 2
+        if m:
+            if dbase < 0:
+                np.negative(mags_padded[po : po + m], out=deltas[ds + 1 : ds + 1 + m])
+            else:
+                deltas[ds + 1 : ds + 1 + m] = mags_padded[po : po + m]
+        po += (m + 7) // 8 * 8
+    csum = np.cumsum(deltas)
+    if len(frames) > 1:
+        frame_offs = np.concatenate(([0], csum[d_starts_np[1:] - 1])).tolist()
+    else:
+        frame_offs = [0]
+    for i, (g, take, n, base, dbase, p) in enumerate(frames):
+        out[g] = base
+        if take > 1:
+            a = d_starts[i]
+            out[g + 1 : g + take] = (base - frame_offs[i]) + csum[a : a + take - 1]

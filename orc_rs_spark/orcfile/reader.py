@@ -248,10 +248,14 @@ class _StripeColumnReader:
             secs = self._ints(data, n_dense, col, signed=True)
             sbuf = self._stream(col, "SECONDARY")
             nanos = _parse_nanos(self._ints(sbuf, n_dense, col, signed=False))
-            # pre-base rows: seconds are floor-truncated toward zero by the
-            # writer, so a non-zero nano on a negative second means one less
-            epoch = (secs + TS_BASE_SECONDS) * 1_000_000_000
-            neg = (secs < 0) & (nanos != 0)
+            # JVM convention (calibrated against Spark's ORC writer): the
+            # seconds stream is trunc-toward-zero, nanos are the positive
+            # fraction; pre-1970 (ABSOLUTE seconds < 0) values with nanos
+            # step back one second. Fractional values in (-1s, 0) are
+            # lossy (+1s) in the JVM reader too — bug-compatible on purpose.
+            abs_secs = secs + TS_BASE_SECONDS
+            epoch = abs_secs * 1_000_000_000
+            neg = (abs_secs < 0) & (nanos != 0)
             epoch = epoch + nanos - np.where(neg, 1_000_000_000, 0)
             arr = pa.array(epoch).cast(pa.timestamp("ns", tz="UTC" if kind == "timestamp_instant" else None))
             return _scatter(arr, present)

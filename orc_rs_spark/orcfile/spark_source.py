@@ -77,3 +77,36 @@ def read_orc(spark: SparkSession, path: str, ddl: str | None = None) -> DataFram
                 yield reader.read_stripe(int(i))
 
     return stripe_df.mapInArrow(decode, ddl)
+
+
+def write_orc_dir(
+    df: DataFrame, out_dir: str, compression: str = "zlib", stripe_rows: int = 65536
+) -> int:
+    """Distributed ORC sink: each task writes its partition as one ORC file
+    (the layout every distributed ORC writer uses — a directory of
+    part-files, readable by Spark/Hive/Trino and by orcfile.reader).
+    Returns the number of rows written."""
+    import os
+
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        got = list(batches)
+        if got:
+            tbl = pa.Table.from_batches(got)
+            write_orc(tbl, f"{out_dir}/part-{pid:05d}.orc", compression=compression,
+                      stripe_rows=stripe_rows)
+            n = tbl.num_rows
+        else:
+            n = 0
+        yield pa.RecordBatch.from_arrays([pa.array([n], type=pa.int64())], names=["n_rows"])
+
+    out = df.mapInArrow(sink, "n_rows bigint").agg(F.sum("n_rows").alias("n")).collect()
+    return int(out[0]["n"] or 0)
