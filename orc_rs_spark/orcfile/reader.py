@@ -42,6 +42,10 @@ def _inner_decompress(block: bytes, codec: str) -> bytes:
         return snappy_decompress(block)
     if codec == "lz4":
         return lz4_block_decompress(block)
+    if codec == "zstd":
+        from orc_rs_spark.kernels.zstd import zstd_decompress
+
+        return zstd_decompress(block)
     raise ValueError(f"no {codec} decoder available in this environment")
 
 

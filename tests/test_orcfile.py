@@ -81,7 +81,8 @@ def _check_stats(reader, table):
 
 @pytest.mark.parametrize("name", [
     "demo-12-zlib.orc", "TestOrcFile.testSnappy.orc",
-    "TestVectorOrcFile.testLz4.orc", "nulls-at-end-snappy.orc",
+    "TestVectorOrcFile.testLz4.orc", "TestVectorOrcFile.testZstd.0.12.orc",
+    "nulls-at-end-snappy.orc",
 ])
 def test_decode_matches_own_footer_stats(name):
     r = OrcFileReader(f"{GOLD}/{name}")
@@ -117,10 +118,13 @@ def test_complex_types_known_values():
     assert str(row1["ts"]) == "2000-03-12 15:00:01"
 
 
-def test_zstd_raises_clearly():
-    r = OrcFileReader(f"{GOLD}/TestVectorOrcFile.testZstd.0.12.orc")
-    with pytest.raises(ValueError, match="zstd"):
-        r.read_all()
+def test_lzo_raises_clearly():
+    """The one codec with no decoder (the reference does not ship LZO
+    either); a clear error, never silent corruption."""
+    from orc_rs_spark.orcfile.reader import orc_stream_decompress
+
+    with pytest.raises(ValueError, match="lzo"):
+        orc_stream_decompress(b"\x06\x00\x00abc", "lzo")
 
 
 # ------------------------------------------------------ Spark cross-checks
@@ -129,6 +133,7 @@ def test_zstd_raises_clearly():
 @pytest.mark.spark
 @pytest.mark.parametrize("name", [
     "demo-12-zlib.orc", "TestOrcFile.testSnappy.orc", "nulls-at-end-snappy.orc",
+    "TestVectorOrcFile.testZstd.0.12.orc",
 ])
 def test_golden_file_matches_spark_native_reader(spark, name):
     """Row-for-row parity with Spark's JVM ORC reader on golden files."""
@@ -141,7 +146,7 @@ def test_golden_file_matches_spark_native_reader(spark, name):
 
 
 @pytest.mark.spark
-@pytest.mark.parametrize("codec", ["zlib", "snappy", "lz4", "none"])
+@pytest.mark.parametrize("codec", ["zlib", "snappy", "lz4", "zstd", "none"])
 def test_spark_written_orc_roundtrip(spark, codec, tmp_path):
     """Spark writes ORC with each codec; this reader must reproduce the
     source rows exactly (nulls, strings, floats, dates, arrays via ORC)."""
@@ -337,3 +342,21 @@ def test_distributed_orc_sink(spark, tmp_path):
     a = df.agg(F.sum("l_quantity"), F.sum("l_orderkey")).collect()[0]
     b = back.agg(F.sum("l_quantity"), F.sum("l_orderkey")).collect()[0]
     assert list(a) == list(b)
+
+
+def test_zstd_kernel_handcrafted_frame():
+    """Hand-built frame: raw block + RLE block + skippable frame handling
+    (compressed blocks are covered end-to-end by the golden/Spark tests)."""
+    from orc_rs_spark.kernels.zstd import zstd_decompress
+
+    frame = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0b00100000])  # single-segment, fcs_flag=0 -> 1-byte fcs
+        + bytes([15])  # frame content size
+        + (0 | (0 << 1) | (5 << 3)).to_bytes(3, "little") + b"hello"  # raw, not last
+        + (1 | (1 << 1) | (10 << 3)).to_bytes(3, "little") + b"a"  # RLE, last
+    )
+    skippable = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"xyz"
+    assert zstd_decompress(skippable + frame) == b"hello" + b"a" * 10
+    with pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"\x00\x01\x02\x03\x04\x05\x06\x07")
