@@ -239,6 +239,40 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_pq(spark, sf_dir, "documents"), threshold=0.9)
 
 
+_CLUSTERS_ORACLE = (
+    """
+WITH RECURSIVE
+w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT co.d1, co.d2
+  FROM co JOIN sz s1 ON co.d1 = s1.doc_id JOIN sz s2 ON co.d2 = s2.doc_id
+  WHERE c::DOUBLE / (s1.n + s2.n - c) >= 0.9),
+e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+)
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: MinHash-LSH pairs -> connected
+    components by iterative min-label propagation. The oracle recomputes
+    components with a recursive CTE over the exact pair set (the LSH pair
+    set equals it, proven by dedup_minhash_lsh)."""
+    from orc_rs_spark.textops.dedup import dup_clusters
+
+    pairs = minhash_lsh_pairs(_pq(spark, sf_dir, "documents"), threshold=0.9)
+    return dup_clusters(pairs)
+
+
 @register("dedup_simhash", None)  # bit-level heuristic: rows-only check
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_pq(spark, sf_dir, "documents"))

@@ -253,6 +253,52 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFr
     )
 
 
+def dup_clusters(pairs: DataFrame, a: str = "d1", b: str = "d2", max_iter: int = 30) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document maps
+    to its component's minimum id (`cluster_id`) — the canonical "keep one
+    per duplicate cluster" step after pair mining.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels (one shuffle join per round);
+    converges in O(graph diameter) rounds — near-dup clusters are dense and
+    shallow, so this is a handful of rounds in practice, with a convergence
+    check (one count per round) and lineage truncation via localCheckpoint
+    so plans don't grow with iterations. Driver-side loop is over ROUNDS,
+    never over rows.
+    """
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = edges.union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    edges = edges.localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def _verify_cos_pairs(embeddings: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
     """Exact cosine verification of candidate (v1, v2) pairs: join each side
     to its (pre-normed) vector, JVM-side zip_with dot product."""

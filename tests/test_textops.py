@@ -189,3 +189,17 @@ def test_embedding_block_pairs_equals_exact(spark):
         (r["v1"], r["v2"]) for r in embedding_block_pairs(emb, threshold=0.9, block_size=7).collect()
     }
     assert blocked == exact
+
+
+@pytest.mark.spark
+def test_dup_clusters_connected_components(spark):
+    from orc_rs_spark.textops.dedup import dup_clusters
+
+    # two chains + one triangle + isolated pair: known components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "d1 bigint, d2 bigint",
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
+    expect = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+    assert got == expect
