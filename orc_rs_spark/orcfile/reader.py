@@ -103,6 +103,60 @@ def read_tail(path: str) -> OrcTail:
         return OrcTail(postscript=ps, footer=footer, file_length=file_len)
 
 
+def read_stripe_statistics(path: str, tail: OrcTail | None = None) -> list[list[proto.ColumnStatistics]]:
+    """Per-stripe column statistics from the file's Metadata section —
+    the pruning index the reference parses but never uses
+    (/root/reference/src/tail.rs:113-132, src/stripe.rs:171 TODO).
+    Returns stats[stripe][column]; empty list when the section is absent."""
+    if tail is None:
+        tail = read_tail(path)
+    ps = tail.postscript
+    if ps.metadata_length == 0:
+        return []
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        file_len = f.tell()
+        ps_len_byte = 1
+        # postscript length byte count: re-read the last byte
+        f.seek(file_len - 1)
+        ps_len = f.read(1)[0]
+        meta_off = file_len - ps_len - ps_len_byte - ps.footer_length - ps.metadata_length
+        f.seek(meta_off)
+        raw = f.read(ps.metadata_length)
+    meta = proto.decode_fields(orc_stream_decompress(raw, ps.compression))
+    out = []
+    for ss in meta.get(1, []):  # repeated StripeStatistics
+        cols = proto.decode_fields(ss)
+        out.append([proto.ColumnStatistics.parse(x) for x in cols.get(1, [])])
+    return out
+
+
+def prune_stripes(path: str, column: str, lo, hi, tail: OrcTail | None = None) -> list[int]:
+    """Stripe indices whose [min, max] for ``column`` overlaps [lo, hi].
+    Falls back to all stripes when stripe statistics are missing."""
+    if tail is None:
+        tail = read_tail(path)
+    stats = read_stripe_statistics(path, tail)
+    n = len(tail.footer.stripes)
+    if not stats or len(stats) != n:
+        return list(range(n))
+    root = tail.footer.types[0]
+    col_id = root.subtypes[root.field_names.index(column)]
+    keep = []
+    for i, scols in enumerate(stats):
+        if col_id >= len(scols):
+            keep.append(i)
+            continue
+        st = scols[col_id]
+        smin = st.int_min if st.int_min is not None else st.string_min
+        smax = st.int_max if st.int_max is not None else st.string_max
+        if smin is None or smax is None:
+            keep.append(i)
+        elif not (smax < lo or smin > hi):
+            keep.append(i)
+    return keep
+
+
 def _scatter(dense: pa.Array, present: np.ndarray | None) -> pa.Array:
     if present is None:
         return dense

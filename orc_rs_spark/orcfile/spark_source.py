@@ -58,15 +58,32 @@ def orc_schema_ddl(path: str) -> str:
     return ", ".join(f"{n} {_pa_ddl(batch.schema.field(n).type)}" for n in batch.schema.names)
 
 
-def read_orc(spark: SparkSession, path: str, ddl: str | None = None) -> DataFrame:
-    """Read one ORC file as a DataFrame, one task per stripe."""
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    ddl: str | None = None,
+    predicate: tuple | None = None,
+) -> DataFrame:
+    """Read one ORC file as a DataFrame, one task per stripe.
+
+    ``predicate=(column, lo, hi)`` prunes whole stripes through the file's
+    Metadata stripe statistics before any task launches — the index the
+    reference left unused (src/stripe.rs:171). The predicate still needs
+    re-applying row-level by the caller (stats keep the superset)."""
     tail = read_tail(path)
     n_stripes = len(tail.footer.stripes)
+    if predicate is not None:
+        from orc_rs_spark.orcfile.reader import prune_stripes
+
+        col, lo, hi = predicate
+        keep = prune_stripes(path, col, lo, hi, tail)
+    else:
+        keep = list(range(n_stripes))
     if ddl is None:
         ddl = orc_schema_ddl(path)
-    stripe_df = spark.range(0, n_stripes, 1, numPartitions=min(n_stripes, 256)).withColumnRenamed(
-        "id", "stripe"
-    )
+    stripe_df = spark.createDataFrame(
+        [(int(i),) for i in keep], "stripe bigint"
+    ).repartition(min(max(len(keep), 1), 256))
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         reader = None

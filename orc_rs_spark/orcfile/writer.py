@@ -235,11 +235,29 @@ class _StripeWriter:
             self._emit(col, 1, v.astype("<f4" if kind == "float" else "<f8").tobytes())
             return
         if kind in ("string", "binary"):
-            self.encodings[col] = (2, 0)  # DIRECT_V2
             if pa.types.is_large_string(dense.type):
                 dense = dense.cast(pa.string())
             if pa.types.is_large_binary(dense.type):
                 dense = dense.cast(pa.binary())
+            if kind == "string" and len(dense):
+                import pyarrow.compute as pc
+
+                uniq = pc.unique(dense)
+                # ORC writer heuristic: dictionary pays when the distinct
+                # ratio is low (Java default threshold 0.8)
+                if len(uniq) / len(dense) <= 0.5:
+                    sorted_dict = uniq.take(pc.array_sort_indices(uniq))
+                    idx = pc.index_in(dense, value_set=sorted_dict)
+                    idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+                    self.encodings[col] = (3, len(sorted_dict))  # DICTIONARY_V2
+                    self._emit(col, 1, rlev2_encode(idx_np, signed=False, strict_orc=True))
+                    obuf = np.frombuffer(sorted_dict.buffers()[1], dtype=np.int32).astype(np.int64)
+                    dlens = np.diff(obuf)
+                    dbody = sorted_dict.buffers()[2]
+                    self._emit(col, 3, dbody.to_pybytes()[: int(obuf[-1])] if dbody else b"")
+                    self._emit(col, 2, rlev2_encode(dlens, signed=False, strict_orc=True))
+                    return
+            self.encodings[col] = (2, 0)  # DIRECT_V2
             obuf = dense.buffers()[1]
             offsets = np.frombuffer(obuf, dtype=np.int32)[
                 dense.offset : dense.offset + len(dense) + 1
