@@ -117,6 +117,43 @@ def rt_engine_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rt_orc_wire_tokens",
+    """
+    SELECT t.doc_id AS doc_id, n_tok, source,
+           CAST(u.i - 1 AS INT) AS pos, tokens[u.i] AS token
+    FROM ("""
+    + TOKEN_TABLE_SQL
+    + """) t, unnest(range(1, len(tokens)+1)) AS u(i)
+    """,
+)
+def rt_orc_wire_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC WIRE round-trip of the token table: distributed write through
+    orcfile.writer (real ORC files, list<int> column), distributed read
+    back through the stripe-parallel source — the full interop loop inside
+    the correctness gate, exploded per token like rt_engine_tokens."""
+    import shutil
+    import tempfile
+
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = token_table_from_events(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="orc_wire_tokens_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_orc_dir(df.repartition(4), out_dir, compression="zlib")
+    import glob
+
+    parts = [
+        read_orc(spark, p) for p in sorted(glob.glob(f"{out_dir}/part-*.orc"))
+    ]
+    rt = parts[0]
+    for p in parts[1:]:
+        rt = rt.unionByName(p)
+    return rt.select(
+        "doc_id", "n_tok", "source", F.posexplode("tokens").alias("pos", "token")
+    )
+
+
+@register(
     "chunk_stats_tokens",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -203,3 +203,24 @@ def test_dup_clusters_connected_components(spark):
     got = {(r["doc_id"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
     expect = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
     assert got == expect
+
+
+@pytest.mark.spark
+def test_ann_lsh_with_persisted_signatures(spark):
+    """The scale path: signatures computed once, persisted, and passed to
+    each query via sigs= — results identical to the recompute path."""
+    from orc_rs_spark.textops.similarity import ann_topk_lsh, hyperplane_signatures
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 64)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    sub = emb.where(F.col("vec_id") != 0)
+    sigs = hyperplane_signatures(sub, bits=8).cache()
+    with_sigs = [r["vec_id"] for r in ann_topk_lsh(sub, q, k=5, bits=8, sigs=sigs).collect()]
+    recompute = [r["vec_id"] for r in ann_topk_lsh(sub, q, k=5, bits=8).collect()]
+    assert with_sigs == recompute
+    with pytest.raises(ValueError, match="n_hint"):
+        ann_topk_lsh(sub, q, k=5)  # no bits, no n_hint: must refuse to scan
+    sigs.unpersist()
