@@ -239,6 +239,29 @@ class _StripeColumnReader:
             dense = pa.StructArray.from_arrays(children, names=t.field_names)
             return _scatter(dense, present)
 
+        if kind == "union":
+            # ORC union (R13 — present but never wired in the reference,
+            # /root/reference/src/column_reader/mod.rs:265): DIRECT byte-RLE
+            # TAG stream; each child stream holds only its rows, in order
+            tags = byte_rle_decode(
+                np.frombuffer(self._stream(col, "DATA"), dtype=np.uint8), n_dense
+            ).astype(np.int8)
+            counts = np.bincount(tags, minlength=len(t.subtypes))
+            children = [
+                self.read_column(sub, int(counts[ci])) for ci, sub in enumerate(t.subtypes)
+            ]
+            # dense-union offsets: running index within each child
+            offsets = np.zeros(n_dense, dtype=np.int32)
+            for ci in range(len(t.subtypes)):
+                sel = tags == ci
+                offsets[sel] = np.arange(int(counts[ci]), dtype=np.int32)
+            dense = pa.UnionArray.from_dense(
+                pa.array(tags), pa.array(offsets), children
+            )
+            if present is not None:
+                raise ValueError("nullable union columns not supported")
+            return dense
+
         if kind in ("list", "map"):
             lbuf = self._stream(col, "LENGTH")
             lengths = self._ints(lbuf, n_dense, col, signed=False)

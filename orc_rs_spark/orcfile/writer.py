@@ -58,7 +58,7 @@ def _field_packed(num: int, vals: list[int]) -> bytes:
 _KIND = {
     "boolean": 0, "byte": 1, "short": 2, "int": 3, "long": 4, "float": 5,
     "double": 6, "string": 7, "binary": 8, "timestamp": 9, "list": 10,
-    "map": 11, "struct": 12, "decimal": 14, "date": 15,
+    "map": 11, "struct": 12, "union": 13, "decimal": 14, "date": 15,
 }
 
 
@@ -93,6 +93,8 @@ def _arrow_to_orc_kind(t: pa.DataType) -> str:
         return "map"
     if pa.types.is_struct(t):
         return "struct"
+    if pa.types.is_union(t):
+        return "union"
     raise TypeError(f"no ORC mapping for arrow type {t}")
 
 
@@ -112,6 +114,9 @@ def _flatten_types(schema_or_type, out: list) -> int:
     out.append(node)
     if kind == "struct":
         node["names"] = [t.field(i).name for i in range(t.num_fields)]
+        for i in range(t.num_fields):
+            node["subtypes"].append(_flatten_types(t.field(i).type, out))
+    elif kind == "union":
         for i in range(t.num_fields):
             node["subtypes"].append(_flatten_types(t.field(i).type, out))
     elif kind == "list":
@@ -202,6 +207,17 @@ class _StripeWriter:
         if kind == "struct":
             for i, sub in enumerate(node["subtypes"]):
                 self.write_column(sub, dense.field(i))
+            return
+        if kind == "union":
+            # ORC union (R13): TAG byte-RLE stream; child c carries only
+            # rows with tag == c, in row order
+            tags = np.asarray(dense.type_codes)
+            self._emit(col, 1, byte_rle_encode(tags.astype(np.uint8)))
+            offsets = np.asarray(dense.offsets)
+            for ci, sub in enumerate(node["subtypes"]):
+                sel = tags == ci
+                child_rows = dense.field(ci).take(pa.array(offsets[sel]))
+                self.write_column(sub, child_rows)
             return
         if kind in ("list", "map"):
             self.encodings[col] = (2, 0)  # DIRECT_V2
