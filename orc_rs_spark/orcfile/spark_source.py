@@ -48,13 +48,35 @@ def _pa_ddl(t: pa.DataType) -> str:
     raise ValueError(f"no Spark DDL mapping for arrow type {t}")
 
 
+def _us_type(t: pa.DataType) -> pa.DataType:
+    """Spark's Arrow bridge rejects nanosecond timestamps: map ns -> us
+    recursively (Spark's TimestampType is microsecond anyway)."""
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return pa.timestamp("us", tz=t.tz)
+    if pa.types.is_list(t):
+        return pa.list_(_us_type(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_us_type(t.key_type), _us_type(t.item_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(t.field(i).name, _us_type(t.field(i).type))
+                          for i in range(t.num_fields)])
+    return t
+
+
+def _spark_friendly(batch: pa.RecordBatch) -> pa.RecordBatch:
+    target = pa.schema([pa.field(f.name, _us_type(f.type)) for f in batch.schema])
+    if target == batch.schema:
+        return batch
+    return pa.Table.from_batches([batch]).cast(target).combine_chunks().to_batches()[0]
+
+
 def orc_schema_ddl(path: str) -> str:
     """Spark DDL for an ORC file's schema (decodes one empty-ish probe via
     the arrow schema of stripe 0 metadata — cheap, tail-only)."""
     reader = OrcFileReader(path)
     # build arrow schema by decoding zero rows is awkward; decode stripe 0
     # lazily instead: schema comes from the footer types via a tiny probe
-    batch = reader.read_stripe(0)
+    batch = _spark_friendly(reader.read_stripe(0))
     return ", ".join(f"{n} {_pa_ddl(batch.schema.field(n).type)}" for n in batch.schema.names)
 
 
@@ -91,7 +113,7 @@ def read_orc(
             for i in b.column("stripe").to_pylist():
                 if reader is None:
                     reader = OrcFileReader(path)
-                yield reader.read_stripe(int(i))
+                yield _spark_friendly(reader.read_stripe(int(i)))
 
     return stripe_df.mapInArrow(decode, ddl)
 

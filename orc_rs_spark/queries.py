@@ -310,6 +310,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+_KEEP_BEST_ORACLE = (
+    _CLUSTERS_ORACLE.replace(
+        "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node",
+        """, cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+j AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+SELECT doc_id, cluster_id,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC)) = 1 AS keep
+FROM j""",
+    )
+)
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup policy: LSH pairs -> connected components -> keep
+    the longest document per cluster (ties to the lowest id); unclustered
+    docs keep themselves."""
+    from orc_rs_spark.textops.dedup import dedup_keep_best, dup_clusters
+
+    docs = _pq(spark, sf_dir, "documents")
+    clusters = dup_clusters(minhash_lsh_pairs(docs, threshold=0.9))
+    return dedup_keep_best(docs, clusters, F.col("n_chars"))
+
+
 @register("dedup_simhash", None)  # bit-level heuristic: rows-only check
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_pq(spark, sf_dir, "documents"))

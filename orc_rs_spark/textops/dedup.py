@@ -299,6 +299,34 @@ def dup_clusters(pairs: DataFrame, a: str = "d1", b: str = "d2", max_iter: int =
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The keep-one-per-cluster policy that ends every dedup pipeline:
+    join docs to their cluster (docs without a cluster are their own
+    keeper), rank by (score DESC, doc_id ASC) inside each cluster, keep
+    rank 1. One window over cluster_id — clusters are small by
+    construction, so no skew; docs outside any cluster never shuffle into
+    the window (they pass through with keep=true).
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(key_col, score_col.alias("_score"))
+    joined = scored.join(clusters, key_col, "left")
+    in_cluster = joined.where(F.col("cluster_id").isNotNull())
+    solo = joined.where(F.col("cluster_id").isNull()).select(
+        key_col, F.col(key_col).alias("cluster_id"), F.lit(True).alias("keep")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("_score").desc(), F.col(key_col).asc())
+    ranked = in_cluster.withColumn("keep", F.row_number().over(w) == 1).select(
+        key_col, "cluster_id", "keep"
+    )
+    return ranked.unionByName(solo)
+
+
 def _verify_cos_pairs(embeddings: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
     """Exact cosine verification of candidate (v1, v2) pairs: join each side
     to its (pre-normed) vector, JVM-side zip_with dot product."""

@@ -466,3 +466,63 @@ def test_union_column_roundtrip(tmp_path):
     got = OrcFileReader(path).read_all().combine_chunks()
     assert got.column("u").to_pylist() == u.to_pylist()
     assert got.column("k").to_pylist() == list(range(n))
+
+
+@pytest.mark.spark
+def test_read_orc_nested_golden(spark):
+    """The stripe-parallel source handles the fully-nested golden file
+    (struct/list/map/ts/decimal) and matches the local reader."""
+    from orc_rs_spark.orcfile.spark_source import read_orc
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = read_orc(spark, f"{GOLD}/orc-file-11-format.orc")
+    assert df.count() == 7500
+    import pyspark.sql.functions as F
+
+    row = df.select(
+        F.sum("int1").alias("s"),
+        F.sum(F.size("list")).alias("l"),
+        F.count(F.col("middle.list")).alias("m"),
+    ).collect()[0]
+    local = OrcFileReader(f"{GOLD}/orc-file-11-format.orc").read_all()
+    import pyarrow.compute as pc
+
+    assert row["s"] == pc.sum(local.column("int1")).as_py()
+    assert row["m"] == 7500
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+
+@given(
+    rows=hst.lists(
+        hst.tuples(
+            hst.one_of(hst.none(), hst.integers(-(2**62), 2**62)),
+            hst.one_of(hst.none(), hst.text(max_size=12)),
+            hst.one_of(hst.none(), hst.floats(allow_nan=False, width=64)),
+            hst.one_of(hst.none(), hst.lists(hst.one_of(hst.none(), hst.integers(-100, 100)), max_size=4)),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    codec=hst.sampled_from(["zlib", "none"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_writer_reader_fuzz(rows, codec, tmp_path_factory):
+    """Property: any (nullable) table of longs/strings/doubles/int-lists
+    round-trips through the ORC writer + reader bit-exactly."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    tbl = pa.table({
+        "i": pa.array([r[0] for r in rows], type=pa.int64()),
+        "s": pa.array([r[1] for r in rows], type=pa.string()),
+        "f": pa.array([r[2] for r in rows], type=pa.float64()),
+        "l": pa.array([r[3] for r in rows], type=pa.list_(pa.int64())),
+    })
+    path = str(tmp_path_factory.mktemp("fuzz") / "f.orc")
+    write_orc(tbl, path, compression=codec, stripe_rows=17)
+    got = OrcFileReader(path).read_all()
+    assert got.cast(tbl.schema).combine_chunks().equals(tbl.combine_chunks())
