@@ -104,6 +104,20 @@ def main() -> None:
     QUERIES["rt_engine_tokens"](spark, sf_dir).agg(F.sum("n_tok")).collect()
     timings["q5_rt_engine_events"] = time.time() - t0
 
+    # q6/q7: real ORC wire interop — write the token table as ORC part
+    # files through orcfile.writer, read them back stripe-parallel
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    orc_dir = f"{work_dir}/orc_wire"
+    t0 = time.time()
+    write_orc_dir(df.repartition(int(cpus) if cpus.isdigit() else 32), orc_dir)
+    timings["q6_orc_wire_write"] = time.time() - t0
+    t0 = time.time()
+    orc_rt_vals = int(read_orc(spark, orc_dir).agg(F.sum("n_tok")).collect()[0][0])
+    timings["q7_orc_wire_read"] = time.time() - t0
+    assert orc_rt_vals == n_values, "ORC wire round-trip lost values"
+    orc_wire_bytes = dir_size(orc_dir)
+
     total = sum(timings.values())
     result = {
         "metric": "bench_suite_wall",
@@ -123,6 +137,9 @@ def main() -> None:
         "vs_orc": round(enc_bytes / max(1, orc_bytes), 4),
         "roundtrip_rows": n,
         "roundtrip_mismatches": bad,
+        "orc_wire_write_tokens_per_sec": round(n_values / timings["q6_orc_wire_write"]),
+        "orc_wire_read_tokens_per_sec": round(n_values / timings["q7_orc_wire_read"]),
+        "orc_wire_bytes": orc_wire_bytes,
         "cpus": cpus,
     }
     spark.stop()

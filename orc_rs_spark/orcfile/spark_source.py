@@ -70,50 +70,97 @@ def _spark_friendly(batch: pa.RecordBatch) -> pa.RecordBatch:
     return pa.Table.from_batches([batch]).cast(target).combine_chunks().to_batches()[0]
 
 
+_ORC_DDL = {
+    "boolean": "boolean", "byte": "tinyint", "short": "smallint", "int": "int",
+    "long": "bigint", "float": "float", "double": "double", "string": "string",
+    "varchar": "string", "char": "string", "binary": "binary", "date": "date",
+    "timestamp": "timestamp_ntz", "timestamp_instant": "timestamp",
+}
+
+
+def _orc_type_ddl(types: list, col_id: int) -> str:
+    """Spark DDL from the ORC footer type tree — metadata only, no data
+    decode (the driver never touches stripe bytes)."""
+    t = types[col_id]
+    if t.kind in _ORC_DDL:
+        return _ORC_DDL[t.kind]
+    if t.kind == "decimal":
+        prec = t.precision or 38
+        return f"decimal({prec},{t.scale})"
+    if t.kind == "list":
+        return f"array<{_orc_type_ddl(types, t.subtypes[0])}>"
+    if t.kind == "map":
+        return (f"map<{_orc_type_ddl(types, t.subtypes[0])},"
+                f"{_orc_type_ddl(types, t.subtypes[1])}>")
+    if t.kind == "struct":
+        inner = ",".join(
+            f"{name}:{_orc_type_ddl(types, sub)}" for name, sub in zip(t.field_names, t.subtypes)
+        )
+        return f"struct<{inner}>"
+    raise ValueError(f"no Spark DDL mapping for ORC kind {t.kind!r}")
+
+
 def orc_schema_ddl(path: str) -> str:
-    """Spark DDL for an ORC file's schema (decodes one empty-ish probe via
-    the arrow schema of stripe 0 metadata — cheap, tail-only)."""
-    reader = OrcFileReader(path)
-    # build arrow schema by decoding zero rows is awkward; decode stripe 0
-    # lazily instead: schema comes from the footer types via a tiny probe
-    batch = _spark_friendly(reader.read_stripe(0))
-    return ", ".join(f"{n} {_pa_ddl(batch.schema.field(n).type)}" for n in batch.schema.names)
+    """Spark DDL for an ORC file's schema, from the footer alone."""
+    tail = read_tail(path)
+    root = tail.footer.types[0]
+    return ", ".join(
+        f"{name} {_orc_type_ddl(tail.footer.types, sub)}"
+        for name, sub in zip(root.field_names, root.subtypes)
+    )
 
 
 def read_orc(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     ddl: str | None = None,
     predicate: tuple | None = None,
 ) -> DataFrame:
-    """Read one ORC file as a DataFrame, one task per stripe.
+    """Read ORC file(s) as one DataFrame, one task per (file, stripe).
 
-    ``predicate=(column, lo, hi)`` prunes whole stripes through the file's
-    Metadata stripe statistics before any task launches — the index the
-    reference left unused (src/stripe.rs:171). The predicate still needs
-    re-applying row-level by the caller (stats keep the superset)."""
-    tail = read_tail(path)
-    n_stripes = len(tail.footer.stripes)
-    if predicate is not None:
-        from orc_rs_spark.orcfile.reader import prune_stripes
+    ``path`` may be a single file, a directory of part files, or a list of
+    files — all stripes across all files form ONE scan. The driver reads
+    only file tails (schema comes from the footer type tree, never from
+    data). ``predicate=(column, lo, hi)`` prunes whole stripes through each
+    file's Metadata stripe statistics before any task launches — the index
+    the reference left unused (src/stripe.rs:171). The predicate still
+    needs re-applying row-level by the caller (stats keep the superset)."""
+    import glob as _glob
+    import os
 
-        col, lo, hi = predicate
-        keep = prune_stripes(path, col, lo, hi, tail)
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            files = sorted(_glob.glob(os.path.join(path, "*.orc")))
+        else:
+            files = [path]
     else:
-        keep = list(range(n_stripes))
+        files = list(path)
+    if not files:
+        raise ValueError("read_orc: no ORC files found")
+    work: list[tuple[str, int]] = []
+    for f in files:
+        tail = read_tail(f)
+        if predicate is not None:
+            from orc_rs_spark.orcfile.reader import prune_stripes
+
+            col, lo, hi = predicate
+            keep = prune_stripes(f, col, lo, hi, tail)
+        else:
+            keep = list(range(len(tail.footer.stripes)))
+        work.extend((f, i) for i in keep)
     if ddl is None:
-        ddl = orc_schema_ddl(path)
+        ddl = orc_schema_ddl(files[0])
     stripe_df = spark.createDataFrame(
-        [(int(i),) for i in keep], "stripe bigint"
-    ).repartition(min(max(len(keep), 1), 256))
+        [(f, int(i)) for f, i in work], "path string, stripe bigint"
+    ).repartition(min(max(len(work), 1), 256))
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        reader = None
+        readers: dict[str, OrcFileReader] = {}
         for b in batches:
-            for i in b.column("stripe").to_pylist():
-                if reader is None:
-                    reader = OrcFileReader(path)
-                yield _spark_friendly(reader.read_stripe(int(i)))
+            for f, i in zip(b.column("path").to_pylist(), b.column("stripe").to_pylist()):
+                if f not in readers:
+                    readers[f] = OrcFileReader(f)
+                yield _spark_friendly(readers[f].read_stripe(int(i)))
 
     return stripe_df.mapInArrow(decode, ddl)
 

@@ -140,14 +140,7 @@ def rt_orc_wire_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="orc_wire_tokens_")
     shutil.rmtree(out_dir, ignore_errors=True)
     write_orc_dir(df.repartition(4), out_dir, compression="zlib")
-    import glob
-
-    parts = [
-        read_orc(spark, p) for p in sorted(glob.glob(f"{out_dir}/part-*.orc"))
-    ]
-    rt = parts[0]
-    for p in parts[1:]:
-        rt = rt.unionByName(p)
+    rt = read_orc(spark, out_dir)
     return rt.select(
         "doc_id", "n_tok", "source", F.posexplode("tokens").alias("pos", "token")
     )
