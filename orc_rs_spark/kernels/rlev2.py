@@ -537,6 +537,9 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
     # differences against each frame's running offset; int64 wraparound in
     # the global cumsum cancels in the difference, mod-2^64 arithmetic)
     delta_frames: dict[int, list[tuple[int, int, int, int, int, int]]] = {}
+    # patched-base frames batch their DATA unpack the same way (patch lists
+    # are decoded inline in the walk — they are <= 31 entries each)
+    patched_frames: dict[int, list] = {}
     while got < count:
         if pos >= len(b):
             raise ValueError(f"RLEv2 stream truncated at {got}/{count} values")
@@ -570,21 +573,24 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
             base = _decode_base(b[pos : pos + bw].tobytes())
             pos += bw
             nbytes = packed_size(n, w)
-            data = bitunpack(b[pos : pos + nbytes], w, n)
+            data_pos = pos
             pos += nbytes
-            cw = closest_direct_width(pgw + pw)
-            pbytes = packed_size(pll, cw)
-            entries = bitunpack(b[pos : pos + pbytes], cw, pll)
-            pos += pbytes
+            # patch entries are tiny (PLL <= 31): decode inline; the main
+            # DATA pack joins the per-width batch below like direct frames
             if pll:
+                cw = closest_direct_width(pgw + pw)
+                pbytes = packed_size(pll, cw)
+                entries = bitunpack(b[pos : pos + pbytes], cw, pll)
+                pos += pbytes
                 gaps = (entries >> np.uint64(pw)).astype(np.int64)
                 patches = entries & ((_U64_ONE << np.uint64(pw)) - _U64_ONE)
                 idx = np.cumsum(gaps)
-                data[idx] |= patches << np.uint64(w)
-            take = min(n, count - got)
-            out[got : got + take] = (
-                np.uint64(np.int64(base).astype(np.uint64)) + data
-            ).astype(np.int64)[:take]
+            else:
+                idx = None
+                patches = None
+            patched_frames.setdefault(w, []).append(
+                (got, min(n, count - got), n, data_pos, base, idx, patches)
+            )
         else:  # delta
             w = decode_delta_width((h0 >> 1) & 0x1F)
             n = (((h0 & 1) << 8) | int(b[pos + 1])) + 1
@@ -633,6 +639,24 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
         voff = 0
         for g, take, _, n in frames:
             out[g : g + take] = vals[voff : voff + take]
+            voff += (n + 7) // 8 * 8
+    for w, frames in patched_frames.items():
+        padded_vals = sum((n + 7) // 8 * 8 for _, _, n, _, _, _, _ in frames)
+        packed = np.zeros(padded_vals * w // 8, dtype=np.uint8)
+        off = 0
+        for _, _, n, p, _, _, _ in frames:
+            nb = packed_size(n, w)
+            packed[off : off + nb] = b[p : p + nb]
+            off += (n + 7) // 8 * 8 * w // 8
+        vals = bitunpack(packed, w, padded_vals)
+        voff = 0
+        for g, take, n, p, base, idx, patches in frames:
+            seg = vals[voff : voff + n]
+            if idx is not None:
+                seg[idx] |= patches << np.uint64(w)
+            out[g : g + take] = (
+                np.uint64(np.int64(base).astype(np.uint64)) + seg
+            ).astype(np.int64)[:take]
             voff += (n + 7) // 8 * 8
     for w, all_frames in delta_frames.items():
         # tile into ~128K-value groups: amortizes the per-frame Python cost
