@@ -211,6 +211,8 @@ class _StripeWriter:
         if kind == "union":
             # ORC union (R13): TAG byte-RLE stream; child c carries only
             # rows with tag == c, in row order
+            if has_null:
+                raise TypeError("nullable union columns not supported (reader matches)")
             tags = np.asarray(dense.type_codes)
             self._emit(col, 1, byte_rle_encode(tags.astype(np.uint8)))
             offsets = np.asarray(dense.offsets)
