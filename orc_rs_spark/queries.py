@@ -409,7 +409,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
 
 
-@register("ann_topk_lsh", None)  # approximate by design: rows-only check
+@register(
+    "ann_topk_lsh",
+    # exact-top-k SQL is a VALID oracle at this corpus size: default_bits
+    # gives a 2-bit signature for ~500 vectors, and multi-probe covers all
+    # buckets within Hamming 2 — i.e. the candidate set is provably the
+    # whole corpus, so the ANN result equals the exact ranking. At larger
+    # n (more bits than multi-probe reach) the operator is approximate and
+    # would be rows-only; the recall property is separately pytest-checked.
+    """
+    SELECT e.vec_id AS vec_id FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+    WHERE e.vec_id != 0
+    ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id LIMIT 10
+    """,
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n_hint from the parquet footer (catalog-stats read, no data scan) —
     ann_topk_lsh refuses to derive n with a count() action."""
@@ -460,6 +473,22 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_pq(spark, sf_dir, "documents"))
+
+
+@register(
+    "pattern_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+    FROM documents
+    """,
+)
+def q_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rs_spark.textops.textstats import pattern_counts
+
+    return pattern_counts(_pq(spark, sf_dir, "documents"))
 
 
 @register(

@@ -96,3 +96,19 @@ def langid(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> 
         F.col(key_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias("pred_lang"),
     )
+
+
+def pattern_counts(docs, text_col: str = "text", key_col: str = "doc_id"):
+    """Per-document counts of common scrub-list patterns (emails, URLs,
+    digit runs) — the first pass of any PII/quality filter. Pure JVM
+    regexp_count expressions (whole-stage codegen, no Python)."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    return docs.select(
+        key_col,
+        F.regexp_count(t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
+        .cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(r"https?://[^ ]+")).cast("bigint").alias("n_urls"),
+        F.regexp_count(t, F.lit(r"[0-9]+")).cast("bigint").alias("n_digit_runs"),
+    )
