@@ -383,6 +383,41 @@ class OrcFileReader:
         arrays = [reader.read_column(sub, stripe.number_of_rows) for sub in root.subtypes]
         return pa.RecordBatch.from_arrays(arrays, names=root.field_names)
 
+    def arrow_schema(self) -> pa.Schema:
+        """Arrow schema from the footer type tree (metadata only)."""
+        types = self.tail.footer.types
+
+        def conv(cid: int) -> pa.DataType:
+            t = types[cid]
+            simple = {
+                "boolean": pa.bool_(), "byte": pa.int8(), "short": pa.int16(),
+                "int": pa.int32(), "long": pa.int64(), "float": pa.float32(),
+                "double": pa.float64(), "string": pa.string(), "varchar": pa.string(),
+                "char": pa.string(), "binary": pa.binary(), "date": pa.date32(),
+                "timestamp": pa.timestamp("ns"),
+                "timestamp_instant": pa.timestamp("ns", tz="UTC"),
+            }
+            if t.kind in simple:
+                return simple[t.kind]
+            if t.kind == "decimal":
+                return pa.decimal128(t.precision or 38, t.scale)
+            if t.kind == "list":
+                return pa.list_(conv(t.subtypes[0]))
+            if t.kind == "map":
+                return pa.map_(conv(t.subtypes[0]), conv(t.subtypes[1]))
+            if t.kind == "struct":
+                return pa.struct(
+                    [pa.field(n, conv(s)) for n, s in zip(t.field_names, t.subtypes)]
+                )
+            raise ValueError(f"no arrow mapping for ORC kind {t.kind!r}")
+
+        root = types[0]
+        return pa.schema(
+            [pa.field(n, conv(s)) for n, s in zip(root.field_names, root.subtypes)]
+        )
+
     def read_all(self) -> pa.Table:
         batches = [self.read_stripe(i) for i in range(len(self.tail.footer.stripes))]
+        if not batches:  # zero-row file: typed empty table from the footer
+            return pa.Table.from_batches([], schema=self.arrow_schema())
         return pa.Table.from_batches(batches)

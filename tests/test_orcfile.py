@@ -572,3 +572,16 @@ def test_writer_rejects_nullable_union(tmp_path):
     write_orc(tbl, path)  # non-null unions fine
     got = OrcFileReader(path).read_all()
     assert got.column("u").to_pylist() == [1, "x"]
+
+
+def test_empty_table_roundtrip(tmp_path):
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    tbl = pa.table({"a": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.string())})
+    path = str(tmp_path / "empty.orc")
+    write_orc(tbl, path)
+    got = OrcFileReader(path).read_all()
+    assert got.num_rows == 0
+    assert got.schema.equals(tbl.schema)
