@@ -541,6 +541,41 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "n_bytes", "checksum")
 
 
+@register(
+    "multimodal_real_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((3 * (8 + n_chars % 9) + 3) // 4 * 4) * (8 + (n_chars // 9) % 9)
+                ELSE 44 + 2 * (64 + n_chars % 129) END AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media synthesis + decode-able payloads: BMP/WAV bytes are built
+    per document; the oracle predicts the exact payload size from the
+    public header formulas, so a hash match proves the binary layout."""
+    from orc_rs_spark.textops.multimodal import attach_real_media
+
+    media = attach_real_media(_pq(spark, sf_dir, "documents"))
+    return media.select("doc_id", "media_type", "n_bytes")
+
+
+@register("multimodal_real_features", None)  # features not SQL-expressible
+def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE decode path: BMP -> grayscale -> 4x4 mean-pool; WAV -> PCM16
+    -> 16-bin RMS envelope. Rows-only (pooled floats aren't SQL) but every
+    payload is decoded by the pure-NumPy codecs, not a stub."""
+    from orc_rs_spark.textops.multimodal import attach_real_media, extract_features
+
+    feats = extract_features(attach_real_media(_pq(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id", "media_type", "width", "height",
+        F.posexplode("feature").alias("pos", "fval"),
+    ).withColumn("fval", F.col("fval").cast("double"))
+
+
 @register("multimodal_features", None)  # decode is stubbed: rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (decode is a documented stub) — but the output must still

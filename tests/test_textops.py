@@ -224,3 +224,35 @@ def test_ann_lsh_with_persisted_signatures(spark):
     with pytest.raises(ValueError, match="n_hint"):
         ann_topk_lsh(sub, q, k=5)  # no bits, no n_hint: must refuse to scan
     sigs.unpersist()
+
+
+def test_bmp_wav_codecs_roundtrip():
+    """Pure-NumPy BMP/WAV codecs: encode -> decode is exact."""
+    from orc_rs_spark.textops.multimodal import decode_bmp, decode_wav, make_bmp, make_wav
+
+    rng = np.random.default_rng(9)
+    for h, w in [(8, 8), (11, 13), (16, 9)]:
+        pix = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        assert np.array_equal(decode_bmp(make_bmp(pix)), pix)
+    samples = rng.integers(-32768, 32767, 777).astype(np.int16)
+    dec, rate = decode_wav(make_wav(samples, rate=8000))
+    assert rate == 8000 and np.array_equal(dec, samples)
+
+
+@pytest.mark.spark
+def test_attach_real_media_and_features(spark):
+    from orc_rs_spark.textops.multimodal import attach_real_media, decode_bmp, extract_features
+
+    docs = spark.createDataFrame(
+        [(0, "hello world " * 5, 60), (1, "audio text " * 8, 88)],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    media = {r["doc_id"]: r for r in attach_real_media(docs).collect()}
+    assert media[0]["media_type"] == "image/bmp"
+    assert media[1]["media_type"] == "audio/wav"
+    # payload is genuinely decodable
+    img = decode_bmp(bytes(media[0]["payload"]))
+    assert img.shape == (8 + (60 // 9) % 9, 8 + 60 % 9)
+    feats = {r["doc_id"]: r for r in extract_features(attach_real_media(docs)).collect()}
+    assert len(feats[0]["feature"]) == 16 and len(feats[1]["feature"]) == 16
+    assert feats[1]["height"] == 1 and feats[1]["width"] == 64 + 88 % 129
