@@ -162,12 +162,17 @@ def attach_real_media(docs: DataFrame, text_col: str = "text", key_col: str = "d
                     pa.array(payloads, type=pa.binary()),
                     pa.array(mtypes),
                     pa.array([len(p) for p in payloads], type=pa.int64()),
-                    pa.array([hashlib.md5(p).hexdigest() for p in payloads]),
                 ],
-                names=["doc_id", "payload", "media_type", "n_bytes", "checksum"],
+                names=["doc_id", "payload", "media_type", "n_bytes"],
             )
 
-    return docs.select(key_col, text_col, n_chars_col).mapInArrow(mk, MEDIA_DDL)
+    from pyspark.sql import functions as F
+
+    made = docs.select(key_col, text_col, n_chars_col).mapInArrow(
+        mk, "doc_id bigint, payload binary, media_type string, n_bytes bigint"
+    )
+    # checksum JVM-side (F.md5 over the binary column), not a Python loop
+    return made.withColumn("checksum", F.md5("payload"))
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
