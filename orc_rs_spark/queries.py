@@ -328,9 +328,24 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(docs, clusters, F.col("n_chars"))
 
 
-@register("dedup_simhash", None)  # bit-level heuristic: rows-only check
+@register(
+    "dedup_simhash",
+    """
+    WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(word),1,15)) AS BIGINT) AS h FROM w),
+    bits AS (SELECT doc_id, r.i AS i,
+             SUM(CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h, range(0, 60) r(i) GROUP BY doc_id, r.i)
+    SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_pq(spark, sf_dir, "documents"))
+    """Signature listing with a full oracle: the DuckDB side recomputes
+    every 60-bit signature from scratch (md5-derived word hashes make the
+    bit math SQL-reproducible; production default stays xxhash64)."""
+    return simhash(_pq(spark, sf_dir, "documents"), bits=60, hash_fn="md5_60")
 
 
 # The oracle recomputes the SimHash signatures from scratch in SQL (md5-60
