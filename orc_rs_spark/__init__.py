@@ -22,4 +22,27 @@ decoder doc-comments (e.g. /root/reference/src/encoding/rlev2.rs:12-58) were
 used to confirm behavior, never copied.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):  # lazy: importing the package must not start Spark
+    _API = {
+        "encode_table": ("orc_rs_spark.encoder", "encode_table"),
+        "decode_table": ("orc_rs_spark.decoder", "decode_table"),
+        "verify_roundtrip": ("orc_rs_spark.decoder", "verify_roundtrip"),
+        "search_token": ("orc_rs_spark.decoder", "search_token"),
+        "encode_job": ("orc_rs_spark.pipeline", "encode_job"),
+        "encode_generic_table": ("orc_rs_spark.generic", "encode_generic_table"),
+        "decode_generic_table": ("orc_rs_spark.generic", "decode_generic_table"),
+        "read_orc": ("orc_rs_spark.orcfile.spark_source", "read_orc"),
+        "write_orc_dir": ("orc_rs_spark.orcfile.spark_source", "write_orc_dir"),
+        "write_orc": ("orc_rs_spark.orcfile.writer", "write_orc"),
+        "OrcFileReader": ("orc_rs_spark.orcfile.reader", "OrcFileReader"),
+        "get_spark": ("orc_rs_spark.session", "get_spark"),
+    }
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'orc_rs_spark' has no attribute {name!r}")

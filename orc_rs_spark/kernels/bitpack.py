@@ -78,6 +78,9 @@ def bitpack(values: np.ndarray, width: int) -> bytes:
     n = v.shape[0]
     if width == 0 or n == 0:
         return b""
+    if width in (8, 16, 32, 64):  # byte-aligned: one big-endian cast
+        dt = {8: ">u1", 16: ">u2", 32: ">u4", 64: ">u8"}[width]
+        return v.astype(dt).tobytes()
     ng = (n + 7) // 8
     if ng * 8 != n:
         v = np.concatenate([v, np.zeros(ng * 8 - n, dtype=np.uint64)])
@@ -117,6 +120,13 @@ def bitunpack(buf: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
     need_bits = count * width
     if len(b) * 8 < need_bits:
         raise ValueError(f"bitpacked stream truncated: need {need_bits} bits, have {len(b) * 8}")
+    if width in (8, 16, 32, 64):  # byte-aligned: one big-endian cast
+        dt = {8: ">u1", 16: ">u2", 32: ">u4", 64: ">u8"}[width]
+        nbytes = count * width // 8
+        return (
+            np.frombuffer(np.ascontiguousarray(b[:nbytes]), dtype=dt)
+            .astype(np.uint64)
+        )
     if width > 56:
         # accumulator would exceed 64 bits for unaligned wide values
         nbytes = (need_bits + 7) // 8

@@ -126,3 +126,38 @@ def streaming_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def encode_stream_orc(
+    spark: SparkSession,
+    input_dir: str,
+    orc_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming ORC wire sink: each micro-batch lands as real ORC part
+    files under its own batch directory (orcfile.writer), so a replayed
+    batch overwrites exactly its own output — the same exactly-once shape
+    as encode_stream, but the output is readable by ANY ORC consumer
+    (Spark, Hive, Trino, orcfile.reader)."""
+    import shutil
+
+    from orc_rs_spark.orcfile.spark_source import write_orc_dir
+
+    stream = spark.readStream.schema(TOKEN_DDL).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = f"{orc_dir}/batch={int(batch_id)}"
+        shutil.rmtree(out, ignore_errors=True)  # idempotent replay
+        write_orc_dir(batch_df, out)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -77,3 +77,24 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     q2.awaitTermination(120)
     rows = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert rows == {"a", "b", "e"}  # d's text was seen in batch 1
+
+
+@pytest.mark.spark
+def test_streaming_orc_sink(spark, tmp_path):
+    """Micro-batches land as real ORC part files, readable by both Spark's
+    native reader and our stripe-parallel source."""
+    import glob
+
+    from orc_rs_spark.orcfile.spark_source import read_orc
+    from orc_rs_spark.streaming import encode_stream_orc
+
+    inp, out, cp = str(tmp_path / "in"), str(tmp_path / "orc"), str(tmp_path / "cp")
+    _write_files(inp, 2, 200, seed0=300)
+    q = encode_stream_orc(spark, inp, out, cp)
+    q.awaitTermination(120)
+    files = glob.glob(f"{out}/batch=*/part-*.orc")
+    assert files
+    ours = read_orc(spark, sorted(files))
+    assert ours.count() == 400
+    native = spark.read.orc(sorted(files))
+    assert native.count() == 400
