@@ -64,6 +64,13 @@ def encode_table(
     Arrow-batch tails compress poorly and made total size jitter with the
     range sampler otherwise.
     """
+    missing = [c for c in ("doc_id", "tokens", "n_tok", "source") if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"encode_table input is missing column(s) {missing}; expected the "
+            "token-table shape (doc_id string, tokens array<int>, n_tok int, "
+            "source string) — got columns " + str(df.columns)
+        )
     if repartition:
         df = prepare_for_encode(df, partitions, mode=partition_mode)
 

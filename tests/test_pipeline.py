@@ -80,3 +80,12 @@ def test_crash_between_write_and_checkpoint_no_duplicates(spark, tmp_path):
     n, bad = verify_roundtrip(df, decode_table(chunks))
     assert n == 800 and bad == 0
     df.unpersist()
+
+
+@pytest.mark.spark
+def test_encode_table_rejects_wrong_shape(spark):
+    from orc_rs_spark.encoder import encode_table
+
+    df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+    with pytest.raises(ValueError, match="missing column"):
+        encode_table(df)
