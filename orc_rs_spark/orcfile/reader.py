@@ -367,7 +367,10 @@ class OrcFileReader:
         self.tail = read_tail(path)
         self.codec = self.tail.postscript.compression
 
-    def read_stripe(self, i: int) -> pa.RecordBatch:
+    def read_stripe(self, i: int, columns: list[str] | None = None) -> pa.RecordBatch:
+        """Decode one stripe. ``columns`` projects at the STREAM level:
+        unselected columns' streams are never decompressed or decoded (the
+        wire analogue of the chunk format's stream pruning)."""
         stripe = self.tail.footer.stripes[i]
         with open(self.path, "rb") as f:
             f.seek(stripe.offset)
@@ -380,8 +383,16 @@ class OrcFileReader:
         body = raw[: stripe.index_length + stripe.data_length]
         reader = _StripeColumnReader(body, stripe, sfooter, self.tail.footer.types, self.codec)
         root = self.tail.footer.types[0]
-        arrays = [reader.read_column(sub, stripe.number_of_rows) for sub in root.subtypes]
-        return pa.RecordBatch.from_arrays(arrays, names=root.field_names)
+        if columns is None:
+            names, subs = list(root.field_names), list(root.subtypes)
+        else:
+            unknown = [c for c in columns if c not in root.field_names]
+            if unknown:
+                raise ValueError(f"unknown ORC columns {unknown}; have {root.field_names}")
+            names = [n for n in root.field_names if n in columns]
+            subs = [s for n, s in zip(root.field_names, root.subtypes) if n in columns]
+        arrays = [reader.read_column(sub, stripe.number_of_rows) for sub in subs]
+        return pa.RecordBatch.from_arrays(arrays, names=names)
 
     def arrow_schema(self) -> pa.Schema:
         """Arrow schema from the footer type tree (metadata only)."""
@@ -416,8 +427,13 @@ class OrcFileReader:
             [pa.field(n, conv(s)) for n, s in zip(root.field_names, root.subtypes)]
         )
 
-    def read_all(self) -> pa.Table:
-        batches = [self.read_stripe(i) for i in range(len(self.tail.footer.stripes))]
+    def read_all(self, columns: list[str] | None = None) -> pa.Table:
+        batches = [
+            self.read_stripe(i, columns) for i in range(len(self.tail.footer.stripes))
+        ]
         if not batches:  # zero-row file: typed empty table from the footer
-            return pa.Table.from_batches([], schema=self.arrow_schema())
+            schema = self.arrow_schema()
+            if columns is not None:
+                schema = pa.schema([schema.field(c) for c in schema.names if c in columns])
+            return pa.Table.from_batches([], schema=schema)
         return pa.Table.from_batches(batches)

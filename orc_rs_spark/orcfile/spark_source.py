@@ -115,6 +115,7 @@ def read_orc(
     path: str | list[str],
     ddl: str | None = None,
     predicate: tuple | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Read ORC file(s) as one DataFrame, one task per (file, stripe).
 
@@ -149,7 +150,15 @@ def read_orc(
             keep = list(range(len(tail.footer.stripes)))
         work.extend((f, i) for i in keep)
     if ddl is None:
-        ddl = orc_schema_ddl(files[0])
+        tail0 = read_tail(files[0])
+        root = tail0.footer.types[0]
+        pairs = [
+            (n, s) for n, s in zip(root.field_names, root.subtypes)
+            if columns is None or n in columns
+        ]
+        ddl = ", ".join(
+            f"{n} {_orc_type_ddl(tail0.footer.types, s)}" for n, s in pairs
+        )
     stripe_df = spark.createDataFrame(
         [(f, int(i)) for f, i in work], "path string, stripe bigint"
     ).repartition(min(max(len(work), 1), 256))
@@ -160,7 +169,7 @@ def read_orc(
             for f, i in zip(b.column("path").to_pylist(), b.column("stripe").to_pylist()):
                 if f not in readers:
                     readers[f] = OrcFileReader(f)
-                yield _spark_friendly(readers[f].read_stripe(int(i)))
+                yield _spark_friendly(readers[f].read_stripe(int(i), columns))
 
     return stripe_df.mapInArrow(decode, ddl)
 

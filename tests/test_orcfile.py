@@ -585,3 +585,28 @@ def test_empty_table_roundtrip(tmp_path):
     got = OrcFileReader(path).read_all()
     assert got.num_rows == 0
     assert got.schema.equals(tbl.schema)
+
+
+def test_column_projection_local():
+    """Stream-level projection: only requested columns decode; bytes of
+    unselected streams are never decompressed."""
+    t = OrcFileReader(f"{GOLD}/demo-12-zlib.orc").read_all(columns=["_col0", "_col6"])
+    assert t.column_names == ["_col0", "_col6"]
+    assert t.num_rows == 1920800
+    full = OrcFileReader(f"{GOLD}/demo-12-zlib.orc").read_all()
+    assert t.column("_col0").equals(full.column("_col0"))
+    with pytest.raises(ValueError, match="unknown ORC columns"):
+        OrcFileReader(f"{GOLD}/demo-12-zlib.orc").read_all(columns=["nope"])
+
+
+@pytest.mark.spark
+def test_column_projection_spark(spark):
+    from orc_rs_spark.orcfile.spark_source import read_orc
+
+    df = read_orc(spark, f"{GOLD}/TestOrcFile.testSnappy.orc", columns=["int1"])
+    assert df.columns == ["int1"]
+    import pyspark.sql.functions as F
+
+    got = df.agg(F.sum("int1")).collect()[0][0]
+    local = OrcFileReader(f"{GOLD}/TestOrcFile.testSnappy.orc").read_all()
+    assert got == pc.sum(local.column("int1")).as_py()
