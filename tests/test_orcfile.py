@@ -610,3 +610,28 @@ def test_column_projection_spark(spark):
     got = df.agg(F.sum("int1")).collect()[0][0]
     local = OrcFileReader(f"{GOLD}/TestOrcFile.testSnappy.orc").read_all()
     assert got == pc.sum(local.column("int1")).as_py()
+
+
+def test_stripe_pruning_string_stats():
+    """String min/max stripe stats prune too (demo-11 _col1 is VARCHAR)."""
+    from orc_rs_spark.orcfile.reader import prune_stripes
+
+    path = f"{GOLD}/demo-11-zlib.orc"
+    keep_all = prune_stripes(path, "_col1", "A", "zzzz")
+    assert len(keep_all) == 385  # full range keeps everything
+    keep_none = prune_stripes(path, "_col1", "\x7f\x7f", "\x7f\x7f\x7f")
+    assert len(keep_none) < 385  # beyond-max range prunes
+
+
+@pytest.mark.spark
+def test_read_orc_predicate_plus_projection(spark):
+    from orc_rs_spark.orcfile.spark_source import read_orc
+
+    path = f"{GOLD}/demo-11-zlib.orc"
+    import pyspark.sql.functions as F
+
+    df = read_orc(spark, path, predicate=("_col0", 1, 50), columns=["_col0", "_col6"])
+    assert df.columns == ["_col0", "_col6"]
+    got = df.where(F.col("_col0").between(1, 50)).count()
+    full = spark.read.orc(path).where(F.col("_col0").between(1, 50)).count()
+    assert got == full and full > 0
