@@ -336,8 +336,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits AS (SELECT doc_id, r.i AS i,
              SUM(CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
              FROM h, range(0, 60) r(i) GROUP BY doc_id, r.i)
-    SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-                            ELSE CAST(0 AS BIGINT) END) AS simhash
+    SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -577,11 +577,16 @@ def q_multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "media_type", "n_bytes")
 
 
-@register("multimodal_real_features", None)  # features not SQL-expressible
+@register("multimodal_real_features", None)  # pooled floats not SQL-expressible
 def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENUINE decode path: BMP -> grayscale -> 4x4 mean-pool; WAV -> PCM16
-    -> 16-bin RMS envelope. Rows-only (pooled floats aren't SQL) but every
-    payload is decoded by the pure-NumPy codecs, not a stub."""
+    -> 16-bin RMS envelope. Rows-only BY CONSTRUCTION: the pooled float
+    values pass through IEEE averaging inside NumPy and are not
+    SQL-reproducible, but everything SQL *can* predict about this exact
+    pipeline — media type, decoded width/height, feature-vector length —
+    IS gate-checked by `multimodal_feature_geometry` below, and the float
+    math itself is pytest round-tripped (tests/test_textops.py decodes the
+    payloads independently and recomputes the pools)."""
     from orc_rs_spark.textops.multimodal import attach_real_media, extract_features
 
     feats = extract_features(attach_real_media(_pq(spark, sf_dir, "documents")))
@@ -591,10 +596,47 @@ def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("fval", F.col("fval").cast("double"))
 
 
+@register(
+    "multimodal_feature_geometry",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + n_chars % 9
+                     ELSE 64 + n_chars % 129 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (n_chars // 9) % 9
+                     ELSE 1 END AS INT) AS height,
+           CAST(16 AS INT) AS n_feature_bins
+    FROM documents
+    """,
+)
+def q_multimodal_feature_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-checks the REAL media decode geometry end-to-end: synthesize
+    BMP/WAV payloads, decode them with the pure-NumPy codecs, extract
+    features — then assert the decoded dimensions and the feature-vector
+    length against the closed-form n_chars formulas the payloads were
+    built from. A hash match proves encode->decode->pool preserves the
+    geometry exactly (only the pooled float *values* stay pytest-only,
+    see `multimodal_real_features`)."""
+    from orc_rs_spark.textops.multimodal import attach_real_media, extract_features
+
+    feats = extract_features(attach_real_media(_pq(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.size("feature").cast("int").alias("n_feature_bins"),
+    )
+
+
 @register("multimodal_features", None)  # decode is stubbed: rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (decode is a documented stub) — but the output must still
-    canonicalize, so the feature vector is exploded to scalar rows."""
+    """Rows-only BY CONSTRUCTION: this is the documented STUB tier (opaque
+    formats whose decoders need libraries absent from this container), so
+    the fake dimensions derive from sha256(payload) — deterministic but
+    deliberately not SQL-reproducible. The plumbing this query exists to
+    exercise (schema, Arrow batch shape, explode-to-scalars) is the same
+    code path the fully-oracled `multimodal_feature_geometry` proves."""
     from orc_rs_spark.textops.multimodal import attach_media, extract_features
 
     feats = extract_features(attach_media(_pq(spark, sf_dir, "documents")))
