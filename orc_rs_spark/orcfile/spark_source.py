@@ -110,6 +110,16 @@ def orc_schema_ddl(path: str) -> str:
     )
 
 
+def scan_partitions(n_work: int, default_parallelism: int) -> int:
+    """Task count for a stripe scan: scales WITH the cluster instead of a
+    fixed cap (a hard-coded 256 would squeeze millions of stripes at 100 TB
+    through 256 concurrent tasks regardless of executor count). One task
+    per stripe up to 4x the cluster's core count, beyond which stripes are
+    batched 4-deep per slot — enough slack for stragglers without drowning
+    the scheduler in tiny tasks."""
+    return max(1, min(n_work, 4 * max(1, default_parallelism)))
+
+
 def read_orc(
     spark: SparkSession,
     path: str | list[str],
@@ -161,7 +171,7 @@ def read_orc(
         )
     stripe_df = spark.createDataFrame(
         [(f, int(i)) for f, i in work], "path string, stripe bigint"
-    ).repartition(min(max(len(work), 1), 256))
+    ).repartition(scan_partitions(len(work), spark.sparkContext.defaultParallelism))
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         readers: dict[str, OrcFileReader] = {}
@@ -177,30 +187,38 @@ def read_orc(
 def write_orc_dir(
     df: DataFrame, out_dir: str, compression: str = "zlib", stripe_rows: int = 65536
 ) -> int:
-    """Distributed ORC sink: each task writes its partition as one ORC file
-    (the layout every distributed ORC writer uses — a directory of
+    """Distributed ORC sink: each task STREAMS its partition into one ORC
+    file (the layout every distributed ORC writer uses — a directory of
     part-files, readable by Spark/Hive/Trino and by orcfile.reader).
-    Returns the number of rows written."""
+    Stripes flush to disk every ``stripe_rows`` rows as Arrow batches
+    arrive, so task memory is bounded by one stripe + one batch no matter
+    how large the partition is. Returns the number of rows written."""
     import os
 
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
-    from orc_rs_spark.orcfile.writer import write_orc
+    from orc_rs_spark.orcfile.writer import OrcWriter
 
     os.makedirs(out_dir, exist_ok=True)
 
     def sink(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        got = list(batches)
-        if got:
-            tbl = pa.Table.from_batches(got)
-            write_orc(tbl, f"{out_dir}/part-{pid:05d}.orc", compression=compression,
-                      stripe_rows=stripe_rows)
-            n = tbl.num_rows
-        else:
-            n = 0
+        writer: OrcWriter | None = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if writer is None:
+                writer = OrcWriter(
+                    f"{out_dir}/part-{pid:05d}.orc", b.schema,
+                    compression=compression, stripe_rows=stripe_rows,
+                )
+            writer.write_batch(b)
+        n = 0
+        if writer is not None:
+            writer.close()
+            n = writer.num_rows
         yield pa.RecordBatch.from_arrays([pa.array([n], type=pa.int64())], names=["n_rows"])
 
     out = df.mapInArrow(sink, "n_rows bigint").agg(F.sum("n_rows").alias("n")).collect()

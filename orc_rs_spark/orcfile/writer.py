@@ -318,87 +318,145 @@ class _StripeWriter:
         raise TypeError(f"ORC writer: unsupported kind {kind!r}")
 
 
-def write_orc(table: pa.Table | pa.RecordBatch, path: str, compression: str = "zlib",
-              stripe_rows: int = 65536) -> None:
-    """Write an Arrow table as one ORC file."""
-    if isinstance(table, pa.RecordBatch):
-        table = pa.Table.from_batches([table])
-    types: list[dict] = []
-    _flatten_types(table.schema, types)
-    codec_enum = {"none": 0, "zlib": 1}[compression]
+class OrcWriter:
+    """Incremental ORC writer: feed Arrow batches as they arrive; a stripe
+    flushes to disk every ``stripe_rows`` rows, so peak memory is bounded
+    by one stripe plus one incoming batch regardless of how large the
+    partition is (the reference's bounded-batch read loop,
+    /root/reference/src/stripe.rs:53-84, applied to the write side —
+    the whole-partition-buffering sink was a 100 TB task-memory hazard)."""
 
-    stripe_infos = []
-    out = bytearray(b"ORC")
-    total_values = [0] * len(types)
-    any_null = [False] * len(types)
-    for start in range(0, max(table.num_rows, 1), stripe_rows):
-        batch_tbl = table.slice(start, stripe_rows)
-        if batch_tbl.num_rows == 0:
-            break
-        sw = _StripeWriter(types, compression)
-        sw.stats[0] = (batch_tbl.num_rows, False)
-        for i, sub in enumerate(types[0]["subtypes"]):
-            sw.write_column(sub, batch_tbl.column(i))
-        offset = len(out)
+    def __init__(self, path: str, schema: pa.Schema, compression: str = "zlib",
+                 stripe_rows: int = 65536):
+        self.schema = schema
+        self.compression = compression
+        self.stripe_rows = stripe_rows
+        self.types: list[dict] = []
+        _flatten_types(schema, self.types)
+        self.codec_enum = {"none": 0, "zlib": 1}[compression]
+        self._f = open(path, "wb")
+        self._f.write(b"ORC")
+        self._pos = 3
+        self._stripe_infos: list[dict] = []
+        self._total_values = [0] * len(self.types)
+        self._any_null = [False] * len(self.types)
+        self.num_rows = 0
+        self._buf: list[pa.RecordBatch] = []
+        self._buf_rows = 0
+        self.max_buffered_rows = 0  # high-water mark, asserted in tests
+        self._closed = False
+
+    def write_batch(self, batch: pa.RecordBatch) -> None:
+        if batch.num_rows == 0:
+            return
+        self._buf.append(batch)
+        self._buf_rows += batch.num_rows
+        self.max_buffered_rows = max(self.max_buffered_rows, self._buf_rows)
+        while self._buf_rows >= self.stripe_rows:
+            self._flush_stripe(self._take(self.stripe_rows))
+
+    def write_table(self, table: pa.Table) -> None:
+        for b in table.to_batches(max_chunksize=self.stripe_rows):
+            self.write_batch(b)
+
+    def _take(self, n: int) -> pa.Table:
+        tbl = pa.Table.from_batches(self._buf, schema=self.schema)
+        rest = tbl.slice(n)
+        self._buf = rest.to_batches() if rest.num_rows else []
+        self._buf_rows = rest.num_rows
+        return tbl.slice(0, n)
+
+    def _flush_stripe(self, tbl: pa.Table) -> None:
+        if tbl.num_rows == 0:
+            return
+        sw = _StripeWriter(self.types, self.compression)
+        sw.stats[0] = (tbl.num_rows, False)
+        for i, sub in enumerate(self.types[0]["subtypes"]):
+            sw.write_column(sub, tbl.column(i))
+        offset = self._pos
         data_len = 0
         sfooter = b""
         for col, kind_enum, data in sw.streams:
-            out += data
+            self._f.write(data)
+            self._pos += len(data)
             data_len += len(data)
             sfooter += _field_bytes(
                 1, _field_varint(1, kind_enum) + _field_varint(2, col) + _field_varint(3, len(data))
             )
-        for col in range(len(types)):
+        for col in range(len(self.types)):
             enc, dsize = sw.encodings.get(col, (0, 0))
             body = _field_varint(1, enc)
             if dsize:
                 body += _field_varint(2, dsize)
             sfooter += _field_bytes(2, body)
         sfooter += _field_bytes(3, b"UTC")
-        sfooter_comp = block_compress(sfooter, compression) if compression != "none" else sfooter
-        out += sfooter_comp
-        for col in range(len(types)):
-            nv, hn = sw.stats.get(col, (batch_tbl.num_rows, False))
-            total_values[col] += nv
-            any_null[col] = any_null[col] or hn
-        stripe_infos.append(
+        sfooter_comp = (
+            block_compress(sfooter, self.compression) if self.compression != "none" else sfooter
+        )
+        self._f.write(sfooter_comp)
+        self._pos += len(sfooter_comp)
+        for col in range(len(self.types)):
+            nv, hn = sw.stats.get(col, (tbl.num_rows, False))
+            self._total_values[col] += nv
+            self._any_null[col] = self._any_null[col] or hn
+        self._stripe_infos.append(
             {"offset": offset, "index_length": 0, "data_length": data_len,
-             "footer_length": len(sfooter_comp), "number_of_rows": batch_tbl.num_rows}
+             "footer_length": len(sfooter_comp), "number_of_rows": tbl.num_rows}
         )
+        self.num_rows += tbl.num_rows
 
-    content_length = len(out)
-    footer = _field_varint(1, 3)  # headerLength
-    footer += _field_varint(2, content_length)
-    for si in stripe_infos:
-        body = (
-            _field_varint(1, si["offset"])
-            + _field_varint(2, si["index_length"])
-            + _field_varint(3, si["data_length"])
-            + _field_varint(4, si["footer_length"])
-            + _field_varint(5, si["number_of_rows"])
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._buf_rows:
+            self._flush_stripe(self._take(self._buf_rows))
+        content_length = self._pos
+        footer = _field_varint(1, 3)  # headerLength
+        footer += _field_varint(2, content_length)
+        for si in self._stripe_infos:
+            body = (
+                _field_varint(1, si["offset"])
+                + _field_varint(2, si["index_length"])
+                + _field_varint(3, si["data_length"])
+                + _field_varint(4, si["footer_length"])
+                + _field_varint(5, si["number_of_rows"])
+            )
+            footer += _field_bytes(3, body)
+        for node in self.types:
+            footer += _field_bytes(4, _type_message(node))
+        footer += _field_varint(6, self.num_rows)
+        for col in range(len(self.types)):
+            st = _field_varint(1, self._total_values[col]) + _field_varint(
+                10, 1 if self._any_null[col] else 0
+            )
+            footer += _field_bytes(7, st)
+        footer += _field_varint(8, 0)  # rowIndexStride = 0: no row index
+        footer += _field_varint(9, 1)  # writer: ORC C++ code slot (non-Java)
+        footer_comp = (
+            block_compress(footer, self.compression) if self.compression != "none" else footer
         )
-        footer += _field_bytes(3, body)
-    for node in types:
-        footer += _field_bytes(4, _type_message(node))
-    footer += _field_varint(6, table.num_rows)
-    for col in range(len(types)):
-        st = _field_varint(1, total_values[col]) + _field_varint(10, 1 if any_null[col] else 0)
-        footer += _field_bytes(7, st)
-    footer += _field_varint(8, 0)  # rowIndexStride = 0: no row index
-    footer += _field_varint(9, 1)  # writer: ORC C++ code slot (non-Java)
-    footer_comp = block_compress(footer, compression) if compression != "none" else footer
-    out += footer_comp
+        self._f.write(footer_comp)
 
-    ps = _field_varint(1, len(footer_comp))
-    ps += _field_varint(2, codec_enum)
-    ps += _field_varint(3, 256 * 1024)
-    ps += _field_packed(4, [0, 12])
-    ps += _field_varint(5, 0)  # metadataLength
-    ps += _field_varint(6, 6)  # writerVersion
-    ps += _field_bytes(8000, b"ORC")
-    if len(ps) > 255:
-        raise ValueError("postscript too long")
-    out += ps
-    out.append(len(ps))
-    with open(path, "wb") as f:
-        f.write(out)
+        ps = _field_varint(1, len(footer_comp))
+        ps += _field_varint(2, self.codec_enum)
+        ps += _field_varint(3, 256 * 1024)
+        ps += _field_packed(4, [0, 12])
+        ps += _field_varint(5, 0)  # metadataLength
+        ps += _field_varint(6, 6)  # writerVersion
+        ps += _field_bytes(8000, b"ORC")
+        if len(ps) > 255:
+            raise ValueError("postscript too long")
+        self._f.write(ps)
+        self._f.write(bytes([len(ps)]))
+        self._f.close()
+        self._closed = True
+
+
+def write_orc(table: pa.Table | pa.RecordBatch, path: str, compression: str = "zlib",
+              stripe_rows: int = 65536) -> None:
+    """Write an Arrow table as one ORC file."""
+    if isinstance(table, pa.RecordBatch):
+        table = pa.Table.from_batches([table])
+    w = OrcWriter(path, table.schema, compression=compression, stripe_rows=stripe_rows)
+    w.write_table(table)
+    w.close()

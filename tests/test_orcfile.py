@@ -635,3 +635,61 @@ def test_read_orc_predicate_plus_projection(spark):
     got = df.where(F.col("_col0").between(1, 50)).count()
     full = spark.read.orc(path).where(F.col("_col0").between(1, 50)).count()
     assert got == full and full > 0
+
+
+def test_scan_partitions_scales_with_cluster():
+    """The old hard cap (256) squeezed millions of stripes through 256
+    concurrent tasks on any cluster; scan now follows defaultParallelism."""
+    from orc_rs_spark.orcfile.spark_source import scan_partitions
+
+    assert scan_partitions(10, 32) == 10  # few stripes: one task each
+    assert scan_partitions(300, 8) == 32  # 4x core count
+    assert scan_partitions(1_000_000, 1000) == 4000  # was 256 before
+    assert scan_partitions(0, 32) == 1
+    assert scan_partitions(500, 256) == 500
+
+
+@pytest.mark.spark
+def test_read_orc_task_count_follows_parallelism(spark, tmp_path):
+    """A >256-stripe scan gets one task per stripe up to 4x cluster cores."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.spark_source import read_orc, scan_partitions
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    n = 300 * 8
+    tbl = pa.table({"a": pa.array(np.arange(n, dtype=np.int64))})
+    path = str(tmp_path / "many_stripes.orc")
+    write_orc(tbl, path, compression="none", stripe_rows=8)  # 300 stripes
+    assert len(read_tail(path).footer.stripes) == 300
+    df = read_orc(spark, path)
+    dp = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() == scan_partitions(300, dp)
+    assert df.count() == n
+
+
+def test_orc_writer_streams_stripes(tmp_path):
+    """Incremental sink path: stripes flush as batches arrive; peak buffer
+    stays under one stripe + one batch across a 100-batch write."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import OrcWriter
+
+    path = str(tmp_path / "streamed.orc")
+    schema = pa.schema([pa.field("a", pa.int64()), pa.field("s", pa.string())])
+    w = OrcWriter(path, schema, compression="zlib", stripe_rows=4096)
+    for i in range(100):  # 100 batches x 1000 rows
+        a = np.arange(i * 1000, (i + 1) * 1000, dtype=np.int64)
+        b = pa.record_batch(
+            [pa.array(a), pa.array([f"s{v % 7}" for v in a])], schema=schema
+        )
+        w.write_batch(b)
+    w.close()
+    assert w.max_buffered_rows < 4096 + 1000  # bounded, not whole-partition
+    r = OrcFileReader(path)
+    assert len(r.tail.footer.stripes) == -(-100_000 // 4096)
+    got = r.read_all()
+    assert got.num_rows == 100_000
+    av = got.column("a").to_numpy()
+    assert np.array_equal(av, np.arange(100_000, dtype=np.int64))
+    assert got.column("s")[12345].as_py() == f"s{12345 % 7}"
