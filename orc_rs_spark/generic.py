@@ -89,6 +89,10 @@ def _encode_column(arr: pa.Array) -> tuple[str, bytes]:
         # reference decodes zigzag-varint mantissas + a scale stream,
         # /root/reference/src/column_reader/numeric_reader.rs:314-383;
         # here scale is fixed per column so it lives in the schema)
+        if not pa.types.is_decimal128(t):
+            # the 2-word mantissa split below is decimal128-only; a
+            # decimal256 column would silently mis-decode
+            raise TypeError(f"only decimal128 supported, got {t}")
         words = np.frombuffer(arr.buffers()[1], dtype=np.int64).reshape(-1, 2)
         words = words[arr.offset : arr.offset + len(arr)]
         if t.precision <= 18:

@@ -216,6 +216,66 @@ class ColumnStatistics:
         return st
 
 
+def stream_position_layout(col_kind: str, encoding: str) -> list[tuple[str, int]]:
+    """Canonical per-column stream order and per-stream EXTRA position
+    slots in a RowIndexEntry, mirroring the Apache ORC writers' position
+    recording: every stream contributes its output position (1 slot
+    uncompressed, 2 compressed), then RLE streams add one value-skip slot
+    and bit-packed boolean streams add a byte-RLE pending slot plus a bit
+    offset. Streams absent from the stripe contribute no slots."""
+    if col_kind == "boolean":
+        data = [("DATA", 2)]
+    elif col_kind == "byte":
+        data = [("DATA", 1)]
+    elif col_kind in ("short", "int", "long", "date"):
+        data = [("DATA", 1)]
+    elif col_kind in ("float", "double"):
+        data = [("DATA", 0)]
+    elif col_kind in ("string", "varchar", "char", "binary"):
+        if encoding.startswith("DICTIONARY"):
+            data = [("DATA", 1)]
+        else:
+            data = [("DATA", 0), ("LENGTH", 1)]
+    elif col_kind in ("timestamp", "timestamp_instant"):
+        data = [("DATA", 1), ("SECONDARY", 1)]
+    elif col_kind == "decimal":
+        data = [("DATA", 0), ("SECONDARY", 1)]
+    elif col_kind in ("list", "map"):
+        data = [("LENGTH", 1)]
+    elif col_kind == "struct":
+        data = []
+    elif col_kind == "union":
+        data = [("DATA", 1)]
+    else:
+        raise ValueError(f"no position layout for ORC kind {col_kind!r}")
+    return [("PRESENT", 2)] + data
+
+
+@dataclass
+class RowIndexEntry:
+    """One row group's entry: stream positions + group column statistics
+    (reference parse: /root/reference/src/stripe.rs:129-168; proto
+    RowIndexEntry at src/proto/orc_proto.proto)."""
+
+    positions: list[int]
+    statistics: ColumnStatistics | None
+
+    @classmethod
+    def parse(cls, buf) -> "RowIndexEntry":
+        f = decode_fields(buf)
+        stats = f.get(2)
+        return cls(
+            positions=_packed_varints(f, 1),
+            statistics=ColumnStatistics.parse(stats[-1]) if stats else None,
+        )
+
+
+def parse_row_index(buf) -> list[RowIndexEntry]:
+    """RowIndex message: repeated RowIndexEntry entry = 1."""
+    f = decode_fields(buf)
+    return [RowIndexEntry.parse(x) for x in f.get(1, [])]
+
+
 @dataclass
 class Footer:
     header_length: int
@@ -225,6 +285,7 @@ class Footer:
     number_of_rows: int
     statistics: list[ColumnStatistics]
     row_index_stride: int
+    encrypted: bool = False
 
     @classmethod
     def parse(cls, buf) -> "Footer":
@@ -237,6 +298,10 @@ class Footer:
             number_of_rows=_one(f, 6, 0),
             statistics=[ColumnStatistics.parse(x) for x in f.get(7, [])],
             row_index_stride=_one(f, 8, 0),
+            # Footer.encryption = 10 (column encryption); reject like the
+            # reference (/root/reference/src/tail.rs:86-88) instead of
+            # failing later with an opaque stream-parse error
+            encrypted=10 in f,
         )
 
 

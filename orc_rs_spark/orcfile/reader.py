@@ -10,9 +10,9 @@ lists/maps via LENGTH streams, structs by recursion — the same reader
 matrix as /root/reference/src/column_reader/*.
 
 Decompression: zlib via stdlib, snappy/lz4 via the from-spec kernels in
-kernels/lzblocks.py. zstd has no decoder in this environment (no library,
-and FSE+Huffman from spec is out of scope this round) — zstd files raise
-a clear error.
+kernels/lzblocks.py, zstd via the RFC 8878 from-spec decoder in
+kernels/zstd.py — all four ORC block codecs decode without native
+libraries.
 """
 
 from __future__ import annotations
@@ -47,6 +47,37 @@ def _inner_decompress(block: bytes, codec: str) -> bytes:
 
         return zstd_decompress(block)
     raise ValueError(f"no {codec} decoder available in this environment")
+
+
+class RowIndexUnsupported(Exception):
+    """Positional row-group decode not possible for this stripe/column;
+    callers fall back to full-stripe decode (correctness preserved)."""
+
+
+def decompress_from(data, codec: str, chunk_off: int, skip: int, min_bytes: int):
+    """Decompress an ORC-framed stream starting at block boundary
+    ``chunk_off``, dropping ``skip`` decompressed bytes, stopping as soon
+    as ``min_bytes`` of useful output exist — the positional read that
+    makes row-group decode cost proportional to the group, not the stripe."""
+    if codec == "none":
+        return memoryview(data)[chunk_off + skip:]
+    out = []
+    got = 0
+    pos = chunk_off
+    n = len(data)
+    need = skip + min_bytes
+    while pos < n and got < need:
+        header = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        length = header >> 1
+        block = data[pos : pos + length]
+        if len(block) != length:
+            raise ValueError("ORC compressed stream truncated")
+        piece = bytes(block) if header & 1 else _inner_decompress(bytes(block), codec)
+        out.append(piece)
+        got += len(piece)
+        pos += length
+    return memoryview(b"".join(out))[skip:]
 
 
 def orc_stream_decompress(data: bytes, codec: str) -> bytes:
@@ -100,6 +131,12 @@ def read_tail(path: str) -> OrcTail:
             f.seek(file_len - tail_size)
             footer_comp = f.read(ps.footer_length)
         footer = proto.Footer.parse(orc_stream_decompress(footer_comp, ps.compression))
+        if footer.encrypted:
+            raise ValueError(
+                "encrypted ORC files are not supported (footer carries an "
+                "Encryption section; reference rejects these too, "
+                "src/tail.rs:86-88)"
+            )
         return OrcTail(postscript=ps, footer=footer, file_length=file_len)
 
 
@@ -131,6 +168,31 @@ def read_stripe_statistics(path: str, tail: OrcTail | None = None) -> list[list[
     return out
 
 
+def _stats_overlap(st: proto.ColumnStatistics, lo, hi) -> bool:
+    """True when the stats' [min, max] MAY intersect [lo, hi] (missing
+    stats always overlap — pruning must only skip proven-empty ranges)."""
+    smin = st.int_min
+    smax = st.int_max
+    if smin is None and st.double_min is not None:
+        smin, smax = st.double_min, st.double_max
+    if smin is None:
+        smin, smax = st.string_min, st.string_max
+    if smin is None or smax is None:
+        return True
+    return not (smax < lo or smin > hi)
+
+
+def _runs(sorted_ids: list[int]) -> list[tuple[int, int]]:
+    """Collapse a sorted id list into (start, length) consecutive runs."""
+    runs: list[tuple[int, int]] = []
+    for g in sorted_ids:
+        if runs and g == runs[-1][0] + runs[-1][1]:
+            runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+        else:
+            runs.append((g, 1))
+    return runs
+
+
 def prune_stripes(path: str, column: str, lo, hi, tail: OrcTail | None = None) -> list[int]:
     """Stripe indices whose [min, max] for ``column`` overlaps [lo, hi].
     Falls back to all stripes when stripe statistics are missing."""
@@ -144,15 +206,7 @@ def prune_stripes(path: str, column: str, lo, hi, tail: OrcTail | None = None) -
     col_id = root.subtypes[root.field_names.index(column)]
     keep = []
     for i, scols in enumerate(stats):
-        if col_id >= len(scols):
-            keep.append(i)
-            continue
-        st = scols[col_id]
-        smin = st.int_min if st.int_min is not None else st.string_min
-        smax = st.int_max if st.int_max is not None else st.string_max
-        if smin is None or smax is None:
-            keep.append(i)
-        elif not (smax < lo or smin > hi):
+        if col_id >= len(scols) or _stats_overlap(scols[col_id], lo, hi):
             keep.append(i)
     return keep
 
@@ -189,6 +243,8 @@ class _StripeColumnReader:
             self.streams[(s.column, s.kind)] = raw[pos : pos + s.length]
             pos += s.length
         self.n_rows = stripe.number_of_rows
+        self._dicts: dict[int, pa.Array] = {}
+        self._row_index: dict[int, list] | None = None
 
     def _stream(self, col: int, kind: str) -> bytes | None:
         raw = self.streams.get((col, kind))
@@ -227,6 +283,203 @@ class _StripeColumnReader:
                 shift += 7
             out.append((result >> 1) ^ -(result & 1))
         return out
+
+    def _dict_array(self, col: int) -> pa.Array:
+        """Stripe-global string dictionary (materialized once per column)."""
+        if col not in self._dicts:
+            dict_size = self.encodings[col].dictionary_size
+            dbuf = self._stream(col, "DICTIONARY_DATA") or b""
+            lbuf = self._stream(col, "LENGTH")
+            dlen = self._ints(lbuf, dict_size, col, signed=False)
+            doffsets = np.concatenate(([0], np.cumsum(dlen))).astype(np.int64)
+            self._dicts[col] = pa.Array.from_buffers(
+                pa.string(), dict_size,
+                [None, pa.py_buffer(doffsets.astype(np.int32).tobytes()), pa.py_buffer(dbuf)],
+            )
+        return self._dicts[col]
+
+    # ------------------------------------------- positional (row-group) path
+
+    def row_index(self) -> dict[int, list]:
+        """col -> RowIndexEntry list, from this stripe's ROW_INDEX streams
+        (the index the reference parses at src/stripe.rs:129-168 and never
+        uses — TODO at :171; here it drives actual skipping)."""
+        if self._row_index is None:
+            out: dict[int, list] = {}
+            for (col, kind), raw in self.streams.items():
+                if kind == "ROW_INDEX":
+                    out[col] = proto.parse_row_index(orc_stream_decompress(raw, self.codec))
+            self._row_index = out
+        return self._row_index
+
+    def _positions(self, col: int, flat: list[int]) -> dict[str, tuple]:
+        """Split one entry's flat position list into per-stream cursors
+        (chunk_off, decomp_skip, *value_skips) following the canonical
+        stream order; a slot-count mismatch aborts to the full-decode path."""
+        comp = self.codec != "none"
+        base = 2 if comp else 1
+        enc = self.encodings[col].kind
+        out: dict[str, tuple] = {}
+        i = 0
+        try:
+            layout = proto.stream_position_layout(self.types[col].kind, enc)
+        except ValueError as e:
+            raise RowIndexUnsupported(str(e)) from None
+        for kindname, extra in layout:
+            if (col, kindname) not in self.streams:
+                continue
+            slots = base + extra
+            vals = flat[i : i + slots]
+            i += slots
+            if len(vals) != slots:
+                raise RowIndexUnsupported(f"column {col}: truncated positions")
+            if comp:
+                out[kindname] = tuple(vals)
+            else:
+                out[kindname] = (vals[0], 0, *vals[1:])
+        if i != len(flat):
+            raise RowIndexUnsupported(
+                f"column {col}: {len(flat) - i} unconsumed position slots"
+            )
+        return out
+
+    def _stream_at(self, col: int, kind: str, cpos: tuple, min_bytes: int):
+        raw = self.streams.get((col, kind))
+        if raw is None:
+            raise RowIndexUnsupported(f"column {col}: stream {kind} missing")
+        if self.codec == "none":
+            return memoryview(raw)[cpos[0]:]
+        return decompress_from(raw, self.codec, cpos[0], cpos[1], min_bytes)
+
+    def _bits_at(self, col: int, skind: str, nbits: int, pm: dict) -> np.ndarray:
+        chunk_off, dskip, byte_skip, bit_skip = pm[skind][:4]
+        need_bytes = int(byte_skip) + (int(bit_skip) + nbits + 7) // 8
+        buf = self._stream_at(col, skind, (chunk_off, dskip),
+                              need_bytes + need_bytes // 128 + 4)
+        bys = byte_rle_decode(np.frombuffer(buf, dtype=np.uint8), need_bytes)
+        bits = np.unpackbits(bys[int(byte_skip):])
+        return bits[int(bit_skip) : int(bit_skip) + nbits]
+
+    def _ints_at(self, col: int, skind: str, n: int, pm: dict, signed: bool) -> np.ndarray:
+        cpos = pm[skind]
+        vskip = int(cpos[2]) if len(cpos) > 2 else 0
+        total = vskip + n
+        buf = self._stream_at(col, skind, cpos, total * 11 + 32)
+        b = np.frombuffer(buf, dtype=np.uint8)
+        enc = self.encodings[col].kind
+        if enc in ("DIRECT_V2", "DICTIONARY_V2"):
+            vals = rlev2_decode(b, total, signed=signed)
+        else:
+            vals = rlev1_decode(b, total, signed=signed)
+        return vals[vskip:]
+
+    def read_column_group(self, col: int, n: int, index: dict, g: int) -> pa.Array:
+        """Decode ``n`` of this column's values starting at row group ``g``
+        using recorded positions — only the byte ranges the group touches
+        are decompressed and decoded (the row-group skip the reference
+        left as a TODO, src/stripe.rs:171)."""
+        t = self.types[col]
+        kind = t.kind
+        if kind == "union":
+            raise RowIndexUnsupported("union columns have no position contract")
+        entries = index.get(col)
+        if not entries or g >= len(entries):
+            raise RowIndexUnsupported(f"column {col}: no index entry for group {g}")
+        pm = self._positions(col, entries[g].positions)
+        present = None
+        if "PRESENT" in pm:
+            present = self._bits_at(col, "PRESENT", n, pm).astype(bool)
+        n_dense = int(present.sum()) if present is not None else n
+
+        if kind == "struct":
+            children = [self.read_column_group(sub, n_dense, index, g) for sub in t.subtypes]
+            dense = pa.StructArray.from_arrays(children, names=t.field_names)
+            return _scatter(dense, present)
+        if kind in ("list", "map"):
+            lengths = self._ints_at(col, "LENGTH", n_dense, pm, signed=False)
+            n_child = int(lengths.sum())
+            offsets = pa.array(np.concatenate(([0], np.cumsum(lengths))).astype(np.int32))
+            if kind == "list":
+                child = self.read_column_group(t.subtypes[0], n_child, index, g)
+                dense = pa.ListArray.from_arrays(offsets, child)
+            else:
+                keys = self.read_column_group(t.subtypes[0], n_child, index, g)
+                vals = self.read_column_group(t.subtypes[1], n_child, index, g)
+                dense = pa.MapArray.from_arrays(offsets, keys, vals)
+            return _scatter(dense, present)
+        if kind == "boolean":
+            bits = self._bits_at(col, "DATA", n_dense, pm).astype(bool)
+            return _scatter(pa.array(bits), present)
+        if kind == "byte":
+            cpos = pm["DATA"]
+            vskip = int(cpos[2])
+            need = vskip + n_dense
+            buf = self._stream_at(col, "DATA", cpos, need + need // 128 + 4)
+            vals = byte_rle_decode(np.frombuffer(buf, dtype=np.uint8), need)[vskip:]
+            return _scatter(pa.array(vals.astype(np.int8)), present)
+        if kind in ("short", "int", "long", "date"):
+            vals = self._ints_at(col, "DATA", n_dense, pm, signed=True)
+            if kind == "short":
+                arr = pa.array(vals.astype(np.int16))
+            elif kind == "int":
+                arr = pa.array(vals.astype(np.int32))
+            elif kind == "date":
+                arr = pa.array(vals.astype(np.int32)).cast(pa.date32())
+            else:
+                arr = pa.array(vals)
+            return _scatter(arr, present)
+        if kind in ("float", "double"):
+            isz = 4 if kind == "float" else 8
+            buf = self._stream_at(col, "DATA", pm["DATA"], n_dense * isz)
+            vals = np.frombuffer(buf, dtype="<f4" if kind == "float" else "<f8",
+                                 count=n_dense)
+            return _scatter(pa.array(vals), present)
+        if kind in ("string", "varchar", "char", "binary"):
+            out_type = pa.binary() if kind == "binary" else pa.string()
+            if self.encodings[col].kind in ("DICTIONARY", "DICTIONARY_V2"):
+                dictionary = self._dict_array(col)
+                idx = self._ints_at(col, "DATA", n_dense, pm, signed=False)
+                dense = dictionary.take(pa.array(idx))
+                if kind == "binary":
+                    dense = dense.cast(pa.binary())
+                return _scatter(dense, present)
+            lengths = self._ints_at(col, "LENGTH", n_dense, pm, signed=False)
+            total = int(lengths.sum())
+            data = self._stream_at(col, "DATA", pm["DATA"], total)
+            offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+            dense = pa.Array.from_buffers(
+                out_type, n_dense,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(bytes(data[:total]))],
+            )
+            return _scatter(dense, present)
+        if kind in ("timestamp", "timestamp_instant"):
+            secs = self._ints_at(col, "DATA", n_dense, pm, signed=True)
+            nanos = _parse_nanos(self._ints_at(col, "SECONDARY", n_dense, pm, signed=False))
+            abs_secs = secs + TS_BASE_SECONDS
+            epoch = abs_secs * 1_000_000_000
+            neg = (abs_secs < 0) & (nanos != 0)
+            epoch = epoch + nanos - np.where(neg, 1_000_000_000, 0)
+            arr = pa.array(epoch).cast(
+                pa.timestamp("ns", tz="UTC" if kind == "timestamp_instant" else None)
+            )
+            return _scatter(arr, present)
+        if kind == "decimal":
+            buf = self._stream_at(col, "DATA", pm["DATA"], 19 * n_dense + 32)
+            mantissas = self._varint_bigints(bytes(buf), n_dense)
+            scales = self._ints_at(col, "SECONDARY", n_dense, pm, signed=True)
+            from decimal import Decimal
+
+            prec = t.precision or 38
+            scale = t.scale
+            if t.precision == 0:
+                scale = int(scales.max()) if len(scales) else 0
+            vals = [
+                Decimal(m).scaleb(-int(s)).quantize(Decimal(1).scaleb(-scale))
+                for m, s in zip(mantissas, scales)
+            ]
+            dense = pa.array(vals, type=pa.decimal128(max(prec, 1), scale))
+            return _scatter(dense, present)
+        raise RowIndexUnsupported(f"ORC kind {kind!r} has no positional decode")
 
     def read_column(self, col: int, n: int) -> pa.Array:
         t = self.types[col]
@@ -303,15 +556,7 @@ class _StripeColumnReader:
             enc = self.encodings[col].kind
             out_type = pa.binary() if kind == "binary" else pa.string()
             if enc in ("DICTIONARY", "DICTIONARY_V2"):
-                dict_size = self.encodings[col].dictionary_size
-                dbuf = self._stream(col, "DICTIONARY_DATA") or b""
-                lbuf = self._stream(col, "LENGTH")
-                dlen = self._ints(lbuf, dict_size, col, signed=False)
-                doffsets = np.concatenate(([0], np.cumsum(dlen))).astype(np.int64)
-                dictionary = pa.Array.from_buffers(
-                    pa.string(), dict_size,
-                    [None, pa.py_buffer(doffsets.astype(np.int32).tobytes()), pa.py_buffer(dbuf)],
-                )
+                dictionary = self._dict_array(col)
                 idx = self._ints(data, n_dense, col, signed=False)
                 dense = dictionary.take(pa.array(idx))
                 if kind == "binary":
@@ -367,10 +612,7 @@ class OrcFileReader:
         self.tail = read_tail(path)
         self.codec = self.tail.postscript.compression
 
-    def read_stripe(self, i: int, columns: list[str] | None = None) -> pa.RecordBatch:
-        """Decode one stripe. ``columns`` projects at the STREAM level:
-        unselected columns' streams are never decompressed or decoded (the
-        wire analogue of the chunk format's stream pruning)."""
+    def _open_stripe(self, i: int):
         stripe = self.tail.footer.stripes[i]
         with open(self.path, "rb") as f:
             f.seek(stripe.offset)
@@ -381,18 +623,184 @@ class OrcFileReader:
             )
         )
         body = raw[: stripe.index_length + stripe.data_length]
-        reader = _StripeColumnReader(body, stripe, sfooter, self.tail.footer.types, self.codec)
+        return (
+            _StripeColumnReader(body, stripe, sfooter, self.tail.footer.types, self.codec),
+            stripe,
+        )
+
+    def _select(self, columns: list[str] | None):
         root = self.tail.footer.types[0]
         if columns is None:
-            names, subs = list(root.field_names), list(root.subtypes)
-        else:
-            unknown = [c for c in columns if c not in root.field_names]
-            if unknown:
-                raise ValueError(f"unknown ORC columns {unknown}; have {root.field_names}")
-            names = [n for n in root.field_names if n in columns]
-            subs = [s for n, s in zip(root.field_names, root.subtypes) if n in columns]
-        arrays = [reader.read_column(sub, stripe.number_of_rows) for sub in subs]
-        return pa.RecordBatch.from_arrays(arrays, names=names)
+            return list(root.field_names), list(root.subtypes)
+        unknown = [c for c in columns if c not in root.field_names]
+        if unknown:
+            raise ValueError(f"unknown ORC columns {unknown}; have {root.field_names}")
+        names = [n for n in root.field_names if n in columns]
+        subs = [s for n, s in zip(root.field_names, root.subtypes) if n in columns]
+        return names, subs
+
+    def _empty_batch(self, names: list[str]) -> pa.RecordBatch:
+        schema = self.arrow_schema()
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=schema.field(n).type) for n in names], names=names
+        )
+
+    def _check_group_support(self, reader, index, col: int) -> None:
+        """Dry-run the position parse over a column subtree so the group
+        path either works for every column or falls back before any batch
+        is emitted."""
+        t = self.tail.footer.types[col]
+        if t.kind == "union":
+            raise RowIndexUnsupported("union columns have no position contract")
+        entries = index.get(col)
+        if not entries:
+            raise RowIndexUnsupported(f"column {col}: no ROW_INDEX stream")
+        reader._positions(col, entries[0].positions)
+        for sub in t.subtypes:
+            self._check_group_support(reader, index, sub)
+
+    def _decode_group_runs(self, reader, stripe, names, subs, sel: list[int],
+                           groups_per_batch: int):
+        """Yield one RecordBatch per run of ≤ groups_per_batch consecutive
+        selected row groups, decoded positionally."""
+        stride = self.tail.footer.row_index_stride
+        n_rows = stripe.number_of_rows
+        index = reader.row_index()
+        if not index:
+            raise RowIndexUnsupported("stripe has no ROW_INDEX streams")
+        for sub in subs:
+            self._check_group_support(reader, index, sub)
+        for g0, glen in _runs(sel):
+            for s in range(g0, g0 + glen, groups_per_batch):
+                cnt = min(groups_per_batch, g0 + glen - s)
+                n = min(cnt * stride, n_rows - s * stride)
+                arrays = [reader.read_column_group(sub, n, index, s) for sub in subs]
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def read_stripe(self, i: int, columns: list[str] | None = None,
+                    row_groups: list[int] | None = None) -> pa.RecordBatch:
+        """Decode one stripe. ``columns`` projects at the STREAM level:
+        unselected columns' streams are never decompressed or decoded (the
+        wire analogue of the chunk format's stream pruning). ``row_groups``
+        restricts decode to those row-index groups — positional decode when
+        the file carries a usable ROW_INDEX, full-decode-and-slice fallback
+        otherwise (same rows either way)."""
+        reader, stripe = self._open_stripe(i)
+        names, subs = self._select(columns)
+        n_rows = stripe.number_of_rows
+        if row_groups is None:
+            arrays = [reader.read_column(sub, n_rows) for sub in subs]
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+        stride = self.tail.footer.row_index_stride
+        if stride <= 0:
+            raise ValueError("row_groups given but the file has no rowIndexStride")
+        n_groups = -(-n_rows // stride)
+        sel = sorted({int(g) for g in row_groups})
+        if any(g < 0 or g >= n_groups for g in sel):
+            raise ValueError(f"row group out of range (stripe {i} has {n_groups})")
+        if not sel:
+            return self._empty_batch(names)
+        try:
+            batches = list(self._decode_group_runs(reader, stripe, names, subs, sel, n_groups))
+        except RowIndexUnsupported:
+            full = pa.Table.from_arrays(
+                [reader.read_column(sub, n_rows) for sub in subs], names=names
+            )
+            batches = [
+                full.slice(g0 * stride, min(glen * stride, n_rows - g0 * stride))
+                for g0, glen in _runs(sel)
+            ]
+            batches = [b for t in batches for b in t.to_batches()]
+        tbl = pa.Table.from_batches(batches)
+        return tbl.combine_chunks().to_batches()[0]
+
+    def read_stripe_batches(self, i: int, columns: list[str] | None = None,
+                            batch_rows: int = 65536,
+                            row_groups: list[int] | None = None):
+        """Iterate one stripe as RecordBatches of ≤ ~batch_rows rows (the
+        reference's bounded-batch pull loop, src/reader.rs:17-27 applied
+        at row-group granularity). With a row index, memory is bounded by
+        the covering row groups; without one the stripe decodes whole and
+        is sliced (correct, not bounded — flagged so callers know)."""
+        reader, stripe = self._open_stripe(i)
+        names, subs = self._select(columns)
+        stride = self.tail.footer.row_index_stride
+        n_rows = stripe.number_of_rows
+        if stride > 0 and stripe.index_length > 0:
+            n_groups = -(-n_rows // stride)
+            sel = (
+                sorted({int(g) for g in row_groups})
+                if row_groups is not None else list(range(n_groups))
+            )
+            if not sel:
+                return
+            gpb = max(1, batch_rows // stride)
+            try:
+                yield from self._decode_group_runs(reader, stripe, names, subs, sel, gpb)
+                return
+            except RowIndexUnsupported:
+                pass
+        full = pa.Table.from_arrays(
+            [reader.read_column(sub, n_rows) for sub in subs], names=names
+        )
+        if row_groups is not None and stride > 0:
+            sel = sorted({int(g) for g in row_groups})
+            parts = [
+                full.slice(g0 * stride, min(glen * stride, n_rows - g0 * stride))
+                for g0, glen in _runs(sel)
+            ]
+            if not parts:
+                return
+            full = pa.concat_tables(parts)
+        yield from full.to_batches(max_chunksize=batch_rows)
+
+    def read_row_index(self, i: int) -> dict[int, list[proto.RowIndexEntry]]:
+        """Parse stripe i's ROW_INDEX streams from the index region alone
+        (no data bytes touched) — for planning-time group pruning."""
+        stripe = self.tail.footer.stripes[i]
+        if stripe.index_length == 0:
+            return {}
+        with open(self.path, "rb") as f:
+            f.seek(stripe.offset)
+            idx = f.read(stripe.index_length)
+            f.seek(stripe.offset + stripe.index_length + stripe.data_length)
+            sf_raw = f.read(stripe.footer_length)
+        sfooter = proto.StripeFooter.parse(orc_stream_decompress(sf_raw, self.codec))
+        out: dict[int, list[proto.RowIndexEntry]] = {}
+        pos = 0
+        for s in sfooter.streams:
+            if pos >= stripe.index_length:
+                break
+            if s.kind == "ROW_INDEX":
+                out[s.column] = proto.parse_row_index(
+                    orc_stream_decompress(idx[pos : pos + s.length], self.codec)
+                )
+            pos += s.length
+        return out
+
+    def prune_row_groups(self, i: int, column: str, lo, hi) -> list[int] | None:
+        """Row-group ids in stripe i whose [min, max] for ``column``
+        overlaps [lo, hi]; None when the file carries no usable index
+        (caller decodes everything)."""
+        stride = self.tail.footer.row_index_stride
+        if stride <= 0:
+            return None
+        stripe = self.tail.footer.stripes[i]
+        n_groups = -(-stripe.number_of_rows // stride)
+        root = self.tail.footer.types[0]
+        if column not in root.field_names:
+            return None
+        col_id = root.subtypes[root.field_names.index(column)]
+        try:
+            entries = self.read_row_index(i).get(col_id)
+        except ValueError:
+            return None
+        if not entries or len(entries) != n_groups:
+            return None
+        return [
+            g for g, e in enumerate(entries)
+            if e.statistics is None or _stats_overlap(e.statistics, lo, hi)
+        ]
 
     def arrow_schema(self) -> pa.Schema:
         """Arrow schema from the footer type tree (metadata only)."""

@@ -67,34 +67,52 @@ def _spark_friendly(batch: pa.RecordBatch) -> pa.RecordBatch:
     target = pa.schema([pa.field(f.name, _us_type(f.type)) for f in batch.schema])
     if target == batch.schema:
         return batch
-    return pa.Table.from_batches([batch]).cast(target).combine_chunks().to_batches()[0]
+    # safe=False: ns -> us DELIBERATELY truncates sub-microsecond digits —
+    # Spark's TimestampType is microseconds, so this matches what Spark's
+    # own ORC reader would return (a safe cast would instead raise an
+    # opaque ArrowInvalid on valid ORC files carrying nanos)
+    return (
+        pa.Table.from_batches([batch])
+        .cast(target, safe=False)
+        .combine_chunks()
+        .to_batches()[0]
+    )
 
 
 _ORC_DDL = {
     "boolean": "boolean", "byte": "tinyint", "short": "smallint", "int": "int",
     "long": "bigint", "float": "float", "double": "double", "string": "string",
-    "varchar": "string", "char": "string", "binary": "binary", "date": "date",
+    "binary": "binary", "date": "date",
     "timestamp": "timestamp_ntz", "timestamp_instant": "timestamp",
 }
 
 
-def _orc_type_ddl(types: list, col_id: int) -> str:
+def _orc_type_ddl(types: list, col_id: int, scan: bool = False) -> str:
     """Spark DDL from the ORC footer type tree — metadata only, no data
-    decode (the driver never touches stripe bytes)."""
+    decode (the driver never touches stripe bytes). ``scan=True`` yields
+    the mapInArrow-compatible variant: varchar/char degrade to string
+    (Arrow has no length-bounded strings; Spark's own ORC source reads
+    them as string too), while the default carries maximum_length through
+    (reference: src/schema.rs:185-200)."""
     t = types[col_id]
     if t.kind in _ORC_DDL:
         return _ORC_DDL[t.kind]
+    if t.kind in ("varchar", "char"):
+        if t.maximum_length and not scan:
+            return f"{t.kind}({t.maximum_length})"
+        return "string"
     if t.kind == "decimal":
         prec = t.precision or 38
         return f"decimal({prec},{t.scale})"
     if t.kind == "list":
-        return f"array<{_orc_type_ddl(types, t.subtypes[0])}>"
+        return f"array<{_orc_type_ddl(types, t.subtypes[0], scan)}>"
     if t.kind == "map":
-        return (f"map<{_orc_type_ddl(types, t.subtypes[0])},"
-                f"{_orc_type_ddl(types, t.subtypes[1])}>")
+        return (f"map<{_orc_type_ddl(types, t.subtypes[0], scan)},"
+                f"{_orc_type_ddl(types, t.subtypes[1], scan)}>")
     if t.kind == "struct":
         inner = ",".join(
-            f"{name}:{_orc_type_ddl(types, sub)}" for name, sub in zip(t.field_names, t.subtypes)
+            f"{name}:{_orc_type_ddl(types, sub, scan)}"
+            for name, sub in zip(t.field_names, t.subtypes)
         )
         return f"struct<{inner}>"
     raise ValueError(f"no Spark DDL mapping for ORC kind {t.kind!r}")
@@ -126,15 +144,19 @@ def read_orc(
     ddl: str | None = None,
     predicate: tuple | None = None,
     columns: list[str] | None = None,
+    batch_rows: int = 65536,
 ) -> DataFrame:
     """Read ORC file(s) as one DataFrame, one task per (file, stripe).
 
     ``path`` may be a single file, a directory of part files, or a list of
     files — all stripes across all files form ONE scan. The driver reads
     only file tails (schema comes from the footer type tree, never from
-    data). ``predicate=(column, lo, hi)`` prunes whole stripes through each
-    file's Metadata stripe statistics before any task launches — the index
-    the reference left unused (src/stripe.rs:171). The predicate still
+    data). ``predicate=(column, lo, hi)`` prunes at TWO granularities: the
+    driver drops whole stripes through each file's Metadata statistics,
+    then each task drops 10k-row groups inside surviving stripes through
+    the ROW_INDEX min/max — the index the reference parses but never uses
+    (src/stripe.rs:171). Decode streams out in ≤ batch_rows Arrow batches
+    (bounded task memory, whatever the stripe size). The predicate still
     needs re-applying row-level by the caller (stats keep the superset)."""
     import glob as _glob
     import os
@@ -167,7 +189,7 @@ def read_orc(
             if columns is None or n in columns
         ]
         ddl = ", ".join(
-            f"{n} {_orc_type_ddl(tail0.footer.types, s)}" for n, s in pairs
+            f"{n} {_orc_type_ddl(tail0.footer.types, s, scan=True)}" for n, s in pairs
         )
     stripe_df = spark.createDataFrame(
         [(f, int(i)) for f, i in work], "path string, stripe bigint"
@@ -179,13 +201,25 @@ def read_orc(
             for f, i in zip(b.column("path").to_pylist(), b.column("stripe").to_pylist()):
                 if f not in readers:
                     readers[f] = OrcFileReader(f)
-                yield _spark_friendly(readers[f].read_stripe(int(i), columns))
+                r = readers[f]
+                groups = None
+                if predicate is not None:
+                    col, lo, hi = predicate
+                    groups = r.prune_row_groups(int(i), col, lo, hi)
+                    if groups == []:
+                        continue  # every row group proven out of range
+                for batch in r.read_stripe_batches(
+                    int(i), columns, batch_rows=batch_rows, row_groups=groups
+                ):
+                    if batch.num_rows:
+                        yield _spark_friendly(batch)
 
     return stripe_df.mapInArrow(decode, ddl)
 
 
 def write_orc_dir(
-    df: DataFrame, out_dir: str, compression: str = "zlib", stripe_rows: int = 65536
+    df: DataFrame, out_dir: str, compression: str = "zlib", stripe_rows: int = 65536,
+    row_index_stride: int = 10000,
 ) -> int:
     """Distributed ORC sink: each task STREAMS its partition into one ORC
     file (the layout every distributed ORC writer uses — a directory of
@@ -213,6 +247,7 @@ def write_orc_dir(
                 writer = OrcWriter(
                     f"{out_dir}/part-{pid:05d}.orc", b.schema,
                     compression=compression, stripe_rows=stripe_rows,
+                    row_index_stride=row_index_stride,
                 )
             writer.write_batch(b)
         n = 0

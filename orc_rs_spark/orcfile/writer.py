@@ -17,12 +17,17 @@ individually block-framed when compression is zlib.
 
 from __future__ import annotations
 
+import re
+import struct as _struct
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from orc_rs_spark.kernels.blockcomp import block_compress
 from orc_rs_spark.kernels.byte_rle import boolean_rle_encode, byte_rle_encode
 from orc_rs_spark.kernels.rlev2 import rlev2_encode
+from orc_rs_spark.orcfile import proto
 from orc_rs_spark.orcfile.reader import TS_BASE_SECONDS
 
 # ------------------------------------------------------- protobuf encoder
@@ -53,13 +58,50 @@ def _field_packed(num: int, vals: list[int]) -> bytes:
     return _field_bytes(num, body)
 
 
+def _field_sint(num: int, v: int) -> bytes:
+    """sint64 field: zigzag varint."""
+    u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+    return _uvarint(num << 3) + _uvarint(u)
+
+
+def _field_double(num: int, v: float) -> bytes:
+    return _uvarint((num << 3) | 1) + _struct.pack("<d", v)
+
+
+_INT_STAT_KINDS = ("byte", "short", "int", "long")
+_STR_STAT_KINDS = ("string", "varchar", "char")
+
+
+def _stats_body(n_values: int, has_null: bool, kind: str | None = None,
+                mn=None, mx=None) -> bytes:
+    """ColumnStatistics protobuf body (counts + typed min/max when given)."""
+    body = _field_varint(1, int(n_values))
+    if mn is not None and mx is not None:
+        if kind in _INT_STAT_KINDS:
+            body += _field_bytes(2, _field_sint(1, int(mn)) + _field_sint(2, int(mx)))
+        elif kind in ("float", "double"):
+            if mn == mn and mx == mx:  # NaN min/max says nothing: omit
+                body += _field_bytes(3, _field_double(1, float(mn)) + _field_double(2, float(mx)))
+        elif kind in _STR_STAT_KINDS:
+            body += _field_bytes(4, _field_bytes(1, str(mn).encode()) + _field_bytes(2, str(mx).encode()))
+    body += _field_varint(10, 1 if has_null else 0)
+    return body
+
+
 # ------------------------------------------------------------ type tree
 
 _KIND = {
     "boolean": 0, "byte": 1, "short": 2, "int": 3, "long": 4, "float": 5,
     "double": 6, "string": 7, "binary": 8, "timestamp": 9, "list": 10,
     "map": 11, "struct": 12, "union": 13, "decimal": 14, "date": 15,
+    "varchar": 16, "char": 17,
 }
+
+_STREAM_ENUM = {
+    "PRESENT": 0, "DATA": 1, "LENGTH": 2, "DICTIONARY_DATA": 3,
+    "SECONDARY": 5, "ROW_INDEX": 6,
+}
+_STREAM_NAME = {v: k for k, v in _STREAM_ENUM.items()}
 
 
 def _arrow_to_orc_kind(t: pa.DataType) -> str:
@@ -86,6 +128,10 @@ def _arrow_to_orc_kind(t: pa.DataType) -> str:
     if pa.types.is_date32(t):
         return "date"
     if pa.types.is_decimal(t):
+        if not pa.types.is_decimal128(t):
+            # write_column splits mantissas as 2x int64 words (decimal128);
+            # decimal256 would silently corrupt
+            raise TypeError(f"only decimal128 maps to ORC decimal, got {t}")
         return "decimal"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return "list"
@@ -98,24 +144,37 @@ def _arrow_to_orc_kind(t: pa.DataType) -> str:
     raise TypeError(f"no ORC mapping for arrow type {t}")
 
 
-def _flatten_types(schema_or_type, out: list) -> int:
-    """Pre-order walk assigning ORC column ids; returns this node's id."""
+def _flatten_types(schema_or_type, out: list, field_meta=None) -> int:
+    """Pre-order walk assigning ORC column ids; returns this node's id.
+
+    A string field may carry Arrow field metadata ``orc_type`` of
+    ``varchar(N)`` / ``char(N)`` to write the length-bounded ORC kinds
+    (maximum_length carried per the reference, src/schema.rs:185-200)."""
     my_id = len(out)
     if isinstance(schema_or_type, pa.Schema):
         node = {"kind": "struct", "names": list(schema_or_type.names), "subtypes": [],
                 "type": None}
         out.append(node)
         for f in schema_or_type:
-            node["subtypes"].append(_flatten_types(f.type, out))
+            node["subtypes"].append(_flatten_types(f.type, out, f.metadata))
         return my_id
     t = schema_or_type
     kind = _arrow_to_orc_kind(t)
-    node = {"kind": kind, "names": [], "subtypes": [], "type": t}
+    max_length = 0
+    if field_meta and b"orc_type" in field_meta:
+        spec = field_meta[b"orc_type"].decode()
+        m = re.fullmatch(r"(varchar|char)\((\d+)\)", spec)
+        if not m or kind != "string":
+            raise ValueError(f"orc_type metadata {spec!r} requires a string field")
+        kind = m.group(1)
+        max_length = int(m.group(2))
+    node = {"kind": kind, "names": [], "subtypes": [], "type": t,
+            "max_length": max_length}
     out.append(node)
     if kind == "struct":
         node["names"] = [t.field(i).name for i in range(t.num_fields)]
         for i in range(t.num_fields):
-            node["subtypes"].append(_flatten_types(t.field(i).type, out))
+            node["subtypes"].append(_flatten_types(t.field(i).type, out, t.field(i).metadata))
     elif kind == "union":
         for i in range(t.num_fields):
             node["subtypes"].append(_flatten_types(t.field(i).type, out))
@@ -133,6 +192,8 @@ def _type_message(node: dict) -> bytes:
         msg += _field_packed(2, node["subtypes"])
     for name in node["names"]:
         msg += _field_bytes(3, name.encode())
+    if node.get("max_length"):
+        msg += _field_varint(4, node["max_length"])
     t = node["type"]
     if t is not None and pa.types.is_decimal(t):
         msg += _field_varint(5, t.precision) + _field_varint(6, t.scale)
@@ -177,17 +238,71 @@ def _format_nanos(nanos: np.ndarray) -> np.ndarray:
     return np.where(n == 0, 0, enc)
 
 
+def _walk_dense(types: list[dict], col: int, arr, out: dict[int, pa.Array]) -> None:
+    """Collect each column id's array (nested children reached by the same
+    recursion write_column uses) — pass 1 of the indexed stripe encode."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out[col] = arr
+    node = types[col]
+    kind = node["kind"]
+    dense = arr.drop_null() if arr.null_count else arr
+    if kind == "struct":
+        for i, sub in enumerate(node["subtypes"]):
+            _walk_dense(types, sub, dense.field(i), out)
+    elif kind == "list":
+        _walk_dense(types, node["subtypes"][0], dense.flatten(), out)
+    elif kind == "map":
+        _walk_dense(types, node["subtypes"][0], dense.keys, out)
+        _walk_dense(types, node["subtypes"][1], dense.items, out)
+
+
+def _dictionary_streams(sorted_dict: pa.Array) -> list[tuple[int, bytes]]:
+    """DICTIONARY_DATA + symbol LENGTH raw streams for a sorted dictionary."""
+    obuf = np.frombuffer(sorted_dict.buffers()[1], dtype=np.int32).astype(np.int64)
+    dlens = np.diff(obuf)
+    dbody = sorted_dict.buffers()[2]
+    return [
+        (3, dbody.to_pybytes()[: int(obuf[-1])] if dbody else b""),
+        (2, rlev2_encode(dlens, signed=False, strict_orc=True)),
+    ]
+
+
+class _Bits:
+    """Deferred boolean stream payload: raw bits, packed/encoded by the
+    indexed assembler so bit offsets at row-group boundaries are exact."""
+
+    __slots__ = ("bits",)
+
+    def __init__(self, bits: np.ndarray):
+        self.bits = np.asarray(bits, dtype=bool)
+
+
 class _StripeWriter:
-    def __init__(self, types: list[dict], codec: str):
+    def __init__(self, types: list[dict], codec: str,
+                 forced_strings: dict[int, pa.Array | None] | None = None,
+                 force_present: frozenset | set = frozenset(),
+                 defer_bits: bool = False,
+                 emit_dict_streams: bool = True):
         self.types = types
         self.codec = codec
-        self.streams: list[tuple[int, int, bytes]] = []  # (column, kind_enum, bytes)
+        self.forced_strings = forced_strings
+        self.force_present = force_present
+        self.defer_bits = defer_bits
+        self.emit_dict_streams = emit_dict_streams
+        self.streams: list[tuple[int, int, object]] = []  # (column, kind_enum, bytes|_Bits)
         self.encodings: dict[int, tuple[int, int]] = {}  # col -> (kind_enum, dict_size)
         self.stats: dict[int, tuple[int, bool]] = {}  # col -> (n_values, has_null)
 
     def _emit(self, col: int, kind_enum: int, raw: bytes):
         data = block_compress(raw, self.codec) if self.codec != "none" else raw
         self.streams.append((col, kind_enum, data))
+
+    def _emit_bits(self, col: int, kind_enum: int, bits: np.ndarray):
+        if self.defer_bits:
+            self.streams.append((col, kind_enum, _Bits(bits)))
+        else:
+            self._emit(col, kind_enum, boolean_rle_encode(bits))
 
     def write_column(self, col: int, arr: pa.Array):
         node = self.types[col]
@@ -197,9 +312,9 @@ class _StripeWriter:
         has_null = arr.null_count > 0
         self.stats[col] = (len(arr) - arr.null_count, has_null)
         self.encodings[col] = (0, 0)  # DIRECT default
-        if has_null:
+        if has_null or col in self.force_present:
             present = ~np.asarray(arr.is_null().to_numpy(zero_copy_only=False))
-            self._emit(col, 0, boolean_rle_encode(present))
+            self._emit_bits(col, 0, present)
             dense = arr.drop_null()
         else:
             dense = arr
@@ -234,7 +349,7 @@ class _StripeWriter:
             return
         if kind == "boolean":
             v = dense.to_numpy(zero_copy_only=False).astype(bool)
-            self._emit(col, 1, boolean_rle_encode(v))
+            self._emit_bits(col, 1, v)
             return
         if kind == "byte":
             v = dense.to_numpy(zero_copy_only=False).astype(np.uint8)
@@ -252,29 +367,32 @@ class _StripeWriter:
             v = dense.to_numpy(zero_copy_only=False)
             self._emit(col, 1, v.astype("<f4" if kind == "float" else "<f8").tobytes())
             return
-        if kind in ("string", "binary"):
+        if kind in ("string", "varchar", "char", "binary"):
             if pa.types.is_large_string(dense.type):
                 dense = dense.cast(pa.string())
             if pa.types.is_large_binary(dense.type):
                 dense = dense.cast(pa.binary())
-            if kind == "string" and len(dense):
-                import pyarrow.compute as pc
-
-                uniq = pc.unique(dense)
-                # ORC writer heuristic: dictionary pays when the distinct
-                # ratio is low (Java default threshold 0.8)
-                if len(uniq) / len(dense) <= 0.5:
-                    sorted_dict = uniq.take(pc.array_sort_indices(uniq))
-                    idx = pc.index_in(dense, value_set=sorted_dict)
-                    idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
-                    self.encodings[col] = (3, len(sorted_dict))  # DICTIONARY_V2
-                    self._emit(col, 1, rlev2_encode(idx_np, signed=False, strict_orc=True))
-                    obuf = np.frombuffer(sorted_dict.buffers()[1], dtype=np.int32).astype(np.int64)
-                    dlens = np.diff(obuf)
-                    dbody = sorted_dict.buffers()[2]
-                    self._emit(col, 3, dbody.to_pybytes()[: int(obuf[-1])] if dbody else b"")
-                    self._emit(col, 2, rlev2_encode(dlens, signed=False, strict_orc=True))
-                    return
+            sorted_dict = None
+            if kind != "binary":
+                if self.forced_strings is not None:
+                    # stripe-global decision handed down by the indexed
+                    # assembler (must be identical for every row group)
+                    sorted_dict = self.forced_strings.get(col)
+                elif len(dense):
+                    uniq = pc.unique(dense)
+                    # ORC writer heuristic: dictionary pays when the
+                    # distinct ratio is low (Java default threshold 0.8)
+                    if len(uniq) / len(dense) <= 0.5:
+                        sorted_dict = uniq.take(pc.array_sort_indices(uniq))
+            if sorted_dict is not None:
+                idx = pc.index_in(dense, value_set=sorted_dict)
+                idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+                self.encodings[col] = (3, len(sorted_dict))  # DICTIONARY_V2
+                self._emit(col, 1, rlev2_encode(idx_np, signed=False, strict_orc=True))
+                if self.emit_dict_streams:
+                    for knum, raw in _dictionary_streams(sorted_dict):
+                        self._emit(col, knum, raw)
+                return
             self.encodings[col] = (2, 0)  # DIRECT_V2
             obuf = dense.buffers()[1]
             offsets = np.frombuffer(obuf, dtype=np.int32)[
@@ -327,12 +445,17 @@ class OrcWriter:
     the whole-partition-buffering sink was a 100 TB task-memory hazard)."""
 
     def __init__(self, path: str, schema: pa.Schema, compression: str = "zlib",
-                 stripe_rows: int = 65536):
+                 stripe_rows: int = 65536, row_index_stride: int = 10000):
         self.schema = schema
         self.compression = compression
         self.stripe_rows = stripe_rows
         self.types: list[dict] = []
         _flatten_types(schema, self.types)
+        # union columns have no public position-layout convention we can
+        # verify against other writers; fall back to unindexed files
+        if any(t["kind"] == "union" for t in self.types):
+            row_index_stride = 0
+        self.row_index_stride = row_index_stride
         self.codec_enum = {"none": 0, "zlib": 1}[compression]
         self._f = open(path, "wb")
         self._f.write(b"ORC")
@@ -340,6 +463,11 @@ class OrcWriter:
         self._stripe_infos: list[dict] = []
         self._total_values = [0] * len(self.types)
         self._any_null = [False] * len(self.types)
+        # per-stripe serialized ColumnStatistics (Metadata section) and
+        # file-level min/max accumulators for the footer statistics
+        self._stripe_stats: list[list[bytes]] = []
+        self._col_min: list = [None] * len(self.types)
+        self._col_max: list = [None] * len(self.types)
         self.num_rows = 0
         self._buf: list[pa.RecordBatch] = []
         self._buf_rows = 0
@@ -369,6 +497,39 @@ class OrcWriter:
     def _flush_stripe(self, tbl: pa.Table) -> None:
         if tbl.num_rows == 0:
             return
+        if self.row_index_stride > 0:
+            self._flush_stripe_indexed(tbl)
+        else:
+            self._flush_stripe_plain(tbl)
+
+    def _write_stripe_tail(self, tbl, offset, index_len, data_len, sfooter_streams,
+                           encodings, stats, stripe_stats) -> None:
+        """Common stripe epilogue: footer, directory entry, accumulators."""
+        sfooter = sfooter_streams
+        for col in range(len(self.types)):
+            enc, dsize = encodings.get(col, (0, 0))
+            body = _field_varint(1, enc)
+            if dsize:
+                body += _field_varint(2, dsize)
+            sfooter += _field_bytes(2, body)
+        sfooter += _field_bytes(3, b"UTC")
+        sfooter_comp = (
+            block_compress(sfooter, self.compression) if self.compression != "none" else sfooter
+        )
+        self._f.write(sfooter_comp)
+        self._pos += len(sfooter_comp)
+        for col in range(len(self.types)):
+            nv, hn = stats.get(col, (tbl.num_rows, False))
+            self._total_values[col] += nv
+            self._any_null[col] = self._any_null[col] or hn
+        self._stripe_stats.append(stripe_stats)
+        self._stripe_infos.append(
+            {"offset": offset, "index_length": index_len, "data_length": data_len,
+             "footer_length": len(sfooter_comp), "number_of_rows": tbl.num_rows}
+        )
+        self.num_rows += tbl.num_rows
+
+    def _flush_stripe_plain(self, tbl: pa.Table) -> None:
         sw = _StripeWriter(self.types, self.compression)
         sw.stats[0] = (tbl.num_rows, False)
         for i, sub in enumerate(self.types[0]["subtypes"]):
@@ -383,27 +544,205 @@ class OrcWriter:
             sfooter += _field_bytes(
                 1, _field_varint(1, kind_enum) + _field_varint(2, col) + _field_varint(3, len(data))
             )
-        for col in range(len(self.types)):
-            enc, dsize = sw.encodings.get(col, (0, 0))
-            body = _field_varint(1, enc)
-            if dsize:
-                body += _field_varint(2, dsize)
-            sfooter += _field_bytes(2, body)
-        sfooter += _field_bytes(3, b"UTC")
-        sfooter_comp = (
-            block_compress(sfooter, self.compression) if self.compression != "none" else sfooter
-        )
-        self._f.write(sfooter_comp)
-        self._pos += len(sfooter_comp)
-        for col in range(len(self.types)):
-            nv, hn = sw.stats.get(col, (tbl.num_rows, False))
-            self._total_values[col] += nv
-            self._any_null[col] = self._any_null[col] or hn
-        self._stripe_infos.append(
-            {"offset": offset, "index_length": 0, "data_length": data_len,
-             "footer_length": len(sfooter_comp), "number_of_rows": tbl.num_rows}
-        )
-        self.num_rows += tbl.num_rows
+        stripe_stats = [
+            _stats_body(*sw.stats.get(col, (tbl.num_rows, False)))
+            for col in range(len(self.types))
+        ]
+        self._write_stripe_tail(tbl, offset, 0, data_len, sfooter, sw.encodings,
+                                sw.stats, stripe_stats)
+
+    def _flush_stripe_indexed(self, tbl: pa.Table) -> None:
+        """Stripe with ROW_INDEX streams: every row group's streams start at
+        recorded positions. Value streams restart their runs and compression
+        blocks at group boundaries (positions are then plain offsets);
+        bit-packed boolean streams stay CONTINUOUS — group positions carry
+        the in-byte bit offset, exactly like the Java writer — so unindexed
+        readers decode the stripe unchanged."""
+        stride = self.row_index_stride
+        n = tbl.num_rows
+        types = self.types
+        comp = self.compression != "none"
+        groups = [(s, min(stride, n - s)) for s in range(0, n, stride)]
+
+        # ---- pass 1: stripe-wide facts that must not vary per group:
+        # which columns need a PRESENT stream, and each string column's
+        # dictionary-vs-direct decision (with its stripe-global dictionary)
+        dense_cols: dict[int, pa.Array] = {}
+        for i, sub in enumerate(types[0]["subtypes"]):
+            _walk_dense(types, sub, tbl.column(i), dense_cols)
+        force_present = frozenset(c for c, a in dense_cols.items() if a.null_count > 0)
+        forced: dict[int, pa.Array | None] = {}
+        for c, a in dense_cols.items():
+            if types[c]["kind"] in _STR_STAT_KINDS:
+                d = a.drop_null() if a.null_count else a
+                if pa.types.is_large_string(d.type):
+                    d = d.cast(pa.string())
+                forced[c] = None
+                if len(d):
+                    uniq = pc.unique(d)
+                    if len(uniq) / len(d) <= 0.5:
+                        forced[c] = uniq.take(pc.array_sort_indices(uniq))
+
+        # ---- pass 2: encode each row group with restarted runs
+        chunk_lists: dict[tuple[int, int], list] = {}
+        order: list[tuple[int, int]] = []
+        group_counts: dict[int, list[tuple[int, bool]]] = {}
+        encodings: dict[int, tuple[int, int]] = {}
+        for g, (s, ln) in enumerate(groups):
+            mw = _StripeWriter(types, "none", forced_strings=forced,
+                               force_present=force_present, defer_bits=True,
+                               emit_dict_streams=False)
+            mw.stats[0] = (ln, False)
+            gt = tbl.slice(s, ln)
+            for i, sub in enumerate(types[0]["subtypes"]):
+                mw.write_column(sub, gt.column(i))
+            keys = [(c, k) for c, k, _ in mw.streams]
+            if g == 0:
+                order = keys
+                for key in order:
+                    chunk_lists[key] = []
+                encodings = dict(mw.encodings)
+            elif keys != order:  # deterministic by construction
+                raise AssertionError("row-group stream sets diverged")
+            for c, k, payload in mw.streams:
+                chunk_lists[(c, k)].append(payload)
+            for c in range(len(types)):
+                group_counts.setdefault(c, []).append(mw.stats[c])
+
+        # ---- per-group min/max for top-level scalar columns (the pruning
+        # statistics; nested leaves keep counts-only entries)
+        group_mm: dict[int, list[tuple]] = {}
+        for i, sub in enumerate(types[0]["subtypes"]):
+            kind = types[sub]["kind"]
+            if kind not in _INT_STAT_KINDS + _STR_STAT_KINDS + ("float", "double"):
+                continue
+            mm_list = []
+            for (s, ln) in groups:
+                sl = tbl.column(i).slice(s, ln)
+                if sl.null_count == len(sl):
+                    mm_list.append((None, None))
+                else:
+                    mm = pc.min_max(sl)
+                    mm_list.append((mm["min"].as_py(), mm["max"].as_py()))
+            group_mm[sub] = mm_list
+
+        # ---- assemble data streams + positions
+        stream_bytes: dict[tuple[int, int], bytes] = {}
+        stream_positions: dict[tuple[int, int], list[list[int]]] = {}
+        for key in order:
+            chunks = chunk_lists[key]
+            if isinstance(chunks[0], _Bits):
+                # continuous bit stream; byte-RLE runs + compression blocks
+                # restart at each group's covering byte, positions carry
+                # (pending-bytes=0, bit-in-byte) like the Java writer
+                bit_counts = [len(c.bits) for c in chunks]
+                bounds_bits = np.concatenate(([0], np.cumsum(bit_counts))).astype(np.int64)
+                allbits = (
+                    np.concatenate([c.bits for c in chunks])
+                    if len(chunks) > 1 else chunks[0].bits
+                )
+                bytestream = np.packbits(allbits)
+                seg_starts = [int(b // 8) for b in bounds_bits[:-1]] + [len(bytestream)]
+                enc_parts, offs, off = [], [], 0
+                for g in range(len(chunks)):
+                    lo, hi = seg_starts[g], seg_starts[g + 1]
+                    raw = byte_rle_encode(bytestream[lo:hi]) if hi > lo else b""
+                    enc = block_compress(raw, self.compression) if comp else raw
+                    offs.append(off)
+                    off += len(enc)
+                    enc_parts.append(enc)
+                stream_bytes[key] = b"".join(enc_parts)
+                stream_positions[key] = [
+                    ([offs[g], 0] if comp else [offs[g]]) + [0, int(bounds_bits[g] % 8)]
+                    for g in range(len(chunks))
+                ]
+            else:
+                enc_parts, offs, off = [], [], 0
+                for raw in chunks:
+                    enc = block_compress(raw, self.compression) if comp else raw
+                    offs.append(off)
+                    off += len(enc)
+                    enc_parts.append(enc)
+                stream_bytes[key] = b"".join(enc_parts)
+                stream_positions[key] = [
+                    [offs[g], 0] if comp else [offs[g]] for g in range(len(chunks))
+                ]
+
+        # stripe-global dictionary streams (no positions)
+        dict_streams: list[tuple[int, int, bytes]] = []
+        for c, d in forced.items():
+            if d is not None:
+                for knum, raw in _dictionary_streams(d):
+                    data = block_compress(raw, self.compression) if comp else raw
+                    dict_streams.append((c, knum, data))
+
+        # ---- ROW_INDEX streams: one per column, one entry per group
+        index_streams: list[tuple[int, bytes]] = []
+        for col in range(len(types)):
+            enc_kind, _dsize = encodings.get(col, (0, 0))
+            enc_name = "DICTIONARY_V2" if enc_kind == 3 else "DIRECT_V2"
+            layout = proto.stream_position_layout(types[col]["kind"], enc_name)
+            entries = b""
+            for g in range(len(groups)):
+                slots: list[int] = []
+                for kindname, extra in layout:
+                    key = (col, _STREAM_ENUM[kindname])
+                    if key not in stream_bytes:
+                        continue
+                    p = list(stream_positions[key][g])
+                    want = (2 if comp else 1) + extra
+                    p += [0] * (want - len(p))
+                    if len(p) != want:
+                        raise AssertionError(f"position width for col {col} {kindname}")
+                    slots += p
+                nv, hn = group_counts[col][g]
+                mn, mx = group_mm.get(col, [(None, None)] * len(groups))[g]
+                stats = _stats_body(nv, hn, types[col]["kind"], mn, mx)
+                entry = (_field_packed(1, slots) if slots else b"") + _field_bytes(2, stats)
+                entries += _field_bytes(1, entry)
+            index_streams.append(
+                (col, block_compress(entries, self.compression) if comp else entries)
+            )
+
+        # ---- physical layout: index region, data region, stripe footer
+        offset = self._pos
+        index_len = 0
+        sfooter = b""
+        for col, data in index_streams:
+            self._f.write(data)
+            self._pos += len(data)
+            index_len += len(data)
+            sfooter += _field_bytes(
+                1, _field_varint(1, 6) + _field_varint(2, col) + _field_varint(3, len(data))
+            )
+        data_len = 0
+        for col, kind_enum, data in (
+            [(c, k, stream_bytes[(c, k)]) for c, k in order] + dict_streams
+        ):
+            self._f.write(data)
+            self._pos += len(data)
+            data_len += len(data)
+            sfooter += _field_bytes(
+                1, _field_varint(1, kind_enum) + _field_varint(2, col) + _field_varint(3, len(data))
+            )
+
+        # stripe-level statistics (Metadata section) + file-level min/max
+        stripe_stats = []
+        stats_map = {}
+        for col in range(len(types)):
+            nv = sum(v for v, _ in group_counts[col])
+            hn = any(h for _, h in group_counts[col])
+            stats_map[col] = (nv, hn)
+            mns = [m for m, _ in group_mm.get(col, []) if m is not None]
+            mxs = [m for _, m in group_mm.get(col, []) if m is not None]
+            mn = min(mns) if mns else None
+            mx = max(mxs) if mxs else None
+            if mn is not None:
+                self._col_min[col] = mn if self._col_min[col] is None else min(self._col_min[col], mn)
+                self._col_max[col] = mx if self._col_max[col] is None else max(self._col_max[col], mx)
+            stripe_stats.append(_stats_body(nv, hn, types[col]["kind"], mn, mx))
+        self._write_stripe_tail(tbl, offset, index_len, data_len, sfooter,
+                                encodings, stats_map, stripe_stats)
 
     def close(self) -> None:
         if self._closed:
@@ -411,6 +750,21 @@ class OrcWriter:
         if self._buf_rows:
             self._flush_stripe(self._take(self._buf_rows))
         content_length = self._pos
+
+        # Metadata section: per-stripe ColumnStatistics — the stripe-level
+        # pruning index prune_stripes consumes (the reference parses it at
+        # src/tail.rs:113-132 but never uses it; we use it)
+        metadata = b""
+        if self._stripe_stats:
+            for per_col in self._stripe_stats:
+                ss = b"".join(_field_bytes(1, body) for body in per_col)
+                metadata += _field_bytes(1, ss)
+            metadata = (
+                block_compress(metadata, self.compression)
+                if self.compression != "none" else metadata
+            )
+            self._f.write(metadata)
+
         footer = _field_varint(1, 3)  # headerLength
         footer += _field_varint(2, content_length)
         for si in self._stripe_infos:
@@ -426,11 +780,13 @@ class OrcWriter:
             footer += _field_bytes(4, _type_message(node))
         footer += _field_varint(6, self.num_rows)
         for col in range(len(self.types)):
-            st = _field_varint(1, self._total_values[col]) + _field_varint(
-                10, 1 if self._any_null[col] else 0
+            footer += _field_bytes(
+                7,
+                _stats_body(self._total_values[col], self._any_null[col],
+                            self.types[col]["kind"], self._col_min[col],
+                            self._col_max[col]),
             )
-            footer += _field_bytes(7, st)
-        footer += _field_varint(8, 0)  # rowIndexStride = 0: no row index
+        footer += _field_varint(8, self.row_index_stride)
         footer += _field_varint(9, 1)  # writer: ORC C++ code slot (non-Java)
         footer_comp = (
             block_compress(footer, self.compression) if self.compression != "none" else footer
@@ -441,7 +797,7 @@ class OrcWriter:
         ps += _field_varint(2, self.codec_enum)
         ps += _field_varint(3, 256 * 1024)
         ps += _field_packed(4, [0, 12])
-        ps += _field_varint(5, 0)  # metadataLength
+        ps += _field_varint(5, len(metadata))
         ps += _field_varint(6, 6)  # writerVersion
         ps += _field_bytes(8000, b"ORC")
         if len(ps) > 255:
@@ -453,10 +809,11 @@ class OrcWriter:
 
 
 def write_orc(table: pa.Table | pa.RecordBatch, path: str, compression: str = "zlib",
-              stripe_rows: int = 65536) -> None:
-    """Write an Arrow table as one ORC file."""
+              stripe_rows: int = 65536, row_index_stride: int = 10000) -> None:
+    """Write an Arrow table as one ORC file (row-group indexed by default)."""
     if isinstance(table, pa.RecordBatch):
         table = pa.Table.from_batches([table])
-    w = OrcWriter(path, table.schema, compression=compression, stripe_rows=stripe_rows)
+    w = OrcWriter(path, table.schema, compression=compression, stripe_rows=stripe_rows,
+                  row_index_stride=row_index_stride)
     w.write_table(table)
     w.close()

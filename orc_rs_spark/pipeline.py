@@ -37,8 +37,14 @@ from orc_rs_spark.encoder import encode_table
 
 CHECKPOINT_DDL = (
     "part_id int, status string, n_chunks int, chunk_ids array<string>, n_rows bigint, "
-    "orig_bytes bigint, enc_bytes bigint, wall_ms bigint, attempt int"
+    "orig_bytes bigint, enc_bytes bigint, wall_ms bigint, attempt int, scheme_version int"
 )
+
+# Bump when the row->bucket mapping changes. v1 was abs(xxhash64)%n; v2 is
+# pmod(xxhash64, n) — about half of all rows land in different buckets, so
+# resuming a v1 checkpoint under v2 would silently skip rows that now map
+# into already-"done" buckets. Resume refuses across versions instead.
+PARTITION_SCHEME_VERSION = 2
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -54,6 +60,21 @@ def done_buckets(spark: SparkSession, checkpoint_dir: str) -> set[int]:
         cp = spark.read.parquet(checkpoint_dir)
     except Exception:
         return set()
+    if "scheme_version" not in cp.columns:
+        versions = {1}  # pre-versioning checkpoints used the v1 bucket map
+    else:
+        versions = {
+            r["scheme_version"]
+            for r in cp.select("scheme_version").distinct().collect()
+        }
+    if versions - {PARTITION_SCHEME_VERSION}:
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir} was written with partition "
+            f"scheme version(s) {sorted(versions)}, this build uses "
+            f"{PARTITION_SCHEME_VERSION}; resuming would silently skip rows "
+            "that now map into already-done buckets — start a fresh "
+            "checkpoint dir (or re-encode from scratch)"
+        )
     rows = cp.filter(F.col("status") == "done").select("part_id").distinct().collect()
     return {r["part_id"] for r in rows}
 
@@ -127,6 +148,7 @@ def encode_job(
                     int(s["enc_bytes"]) if s else 0,
                     wall_ms,
                     1,
+                    PARTITION_SCHEME_VERSION,
                 )
             )
             if s:

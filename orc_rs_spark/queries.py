@@ -116,6 +116,24 @@ def rt_engine_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_dir(name: str) -> str:
+    """Per-process scratch dir reclaimed at interpreter exit (no leaked
+    tempdirs across correctness-gate runs)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"orc_rs_spark_{os.getpid()}")
+    if not getattr(_scratch_dir, "_registered", False):
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _scratch_dir._registered = True
+    path = os.path.join(base, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 @register(
     "rt_orc_wire_tokens",
     """
@@ -132,18 +150,44 @@ def rt_orc_wire_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through the stripe-parallel source — the full interop loop inside
     the correctness gate, exploded per token like rt_engine_tokens."""
     import shutil
-    import tempfile
 
     from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
 
     df = token_table_from_events(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="orc_wire_tokens_")
+    out_dir = _scratch_dir("orc_wire_tokens")
     shutil.rmtree(out_dir, ignore_errors=True)
     write_orc_dir(df.repartition(4), out_dir, compression="zlib")
     rt = read_orc(spark, out_dir)
     return rt.select(
         "doc_id", "n_tok", "source", F.posexplode("tokens").alias("pos", "token")
     )
+
+
+@register(
+    "orc_rowgroup_pruned",
+    """
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey BETWEEN 20000 AND 23000
+    """,
+)
+def q_orc_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-ORC point-range lookup with BOTH pruning tiers: the driver
+    drops stripes via the Metadata statistics our writer now emits, then
+    tasks drop 10k-row groups via ROW_INDEX min/max and decode only the
+    covering groups positionally (the reference parses these indexes but
+    never uses them — src/stripe.rs:171). Result re-filtered row-level, so
+    the oracle is plain SQL."""
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = _pq(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("total")
+    ).orderBy("o_orderkey")
+    out_dir = _scratch_dir("orc_rowgroup_pruned")
+    write_orc_dir(df.coalesce(1), out_dir, compression="zlib", stripe_rows=8192,
+                  row_index_stride=1024)
+    lo, hi = 20000, 23000
+    scan = read_orc(spark, out_dir, predicate=("o_orderkey", lo, hi))
+    return scan.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
 
 
 @register(

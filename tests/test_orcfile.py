@@ -693,3 +693,224 @@ def test_orc_writer_streams_stripes(tmp_path):
     av = got.column("a").to_numpy()
     assert np.array_equal(av, np.arange(100_000, dtype=np.int64))
     assert got.column("s")[12345].as_py() == f"s{12345 % 7}"
+
+
+# ----------------------------------------------------- ROW_INDEX row groups
+
+
+def _mixed_indexed_table(n=50_000):
+    import pyarrow as pa
+
+    return pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array([None if i % 13 == 0 else f"word{i % 97}" for i in range(n)]),
+        "f": pa.array(np.sin(np.arange(n)).astype(np.float64)),
+        "b": pa.array((np.arange(n) % 3 == 0)),
+        "toks": pa.array([list(range(i % 5)) for i in range(n)], type=pa.list_(pa.int32())),
+        "dct": pa.array([f"cat{i % 7}" for i in range(n)]),
+    })
+
+
+@pytest.fixture(scope="module")
+def indexed_orc(tmp_path_factory):
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    path = str(tmp_path_factory.mktemp("rowidx") / "indexed.orc")
+    write_orc(_mixed_indexed_table(), path, compression="zlib",
+              stripe_rows=20000, row_index_stride=1000)
+    return path
+
+
+def test_row_index_written_and_parsed(indexed_orc):
+    r = OrcFileReader(indexed_orc)
+    assert r.tail.footer.row_index_stride == 1000
+    assert r.tail.footer.stripes[0].index_length > 0
+    idx = r.read_row_index(0)
+    # one RowIndex per column (root included), one entry per group
+    assert set(idx) == set(range(len(r.tail.footer.types)))
+    assert all(len(v) == 20 for v in idx.values())
+
+
+def test_row_group_decode_equals_slices(indexed_orc):
+    import pyarrow as pa
+
+    r = OrcFileReader(indexed_orc)
+    full = pa.Table.from_batches([r.read_stripe(0)])
+    for g in (0, 7, 19):
+        got = r.read_stripe(0, row_groups=[g])
+        exp = full.slice(g * 1000, 1000)
+        for c in full.column_names:
+            assert got.column(c).to_pylist() == exp.column(c).to_pylist(), (g, c)
+    # a multi-group run plus the final partial stripe's last group
+    got = r.read_stripe(2, row_groups=[2, 3, 4, 9])
+    full2 = pa.Table.from_batches([r.read_stripe(2)])
+    import pyarrow as pa2
+
+    exp2 = pa2.concat_tables([full2.slice(2000, 3000), full2.slice(9000, 1000)])
+    assert got.num_rows == 4000
+    assert got.column("k").to_pylist() == exp2.column("k").to_pylist()
+
+
+def test_row_group_decode_is_positional_not_fallback(indexed_orc):
+    """The group path must actually use positions (a silent fallback would
+    still produce right answers but decode the whole stripe)."""
+    import pyarrow as pa
+
+    r = OrcFileReader(indexed_orc)
+    reader, stripe = r._open_stripe(0)
+    names, subs = r._select(None)
+    index = reader.row_index()
+    for sub in subs:
+        r._check_group_support(reader, index, sub)  # raises on fallback path
+    batches = list(r._decode_group_runs(reader, stripe, names, subs, [5], 1))
+    assert len(batches) == 1 and batches[0].num_rows == 1000
+    assert batches[0].column(0).to_pylist() == list(range(5000, 6000))
+
+
+def test_prune_row_groups_minmax(indexed_orc):
+    r = OrcFileReader(indexed_orc)
+    assert r.prune_row_groups(0, "k", 4500, 5500) == [4, 5]
+    assert r.prune_row_groups(0, "k", 10**9, 2 * 10**9) == []
+    # string column stats prune too
+    keep = r.prune_row_groups(0, "dct", "cat3", "cat3")
+    assert keep == list(range(20))  # every group holds every cat -> no prune
+
+
+def test_our_metadata_stripe_stats_prune(indexed_orc):
+    """The writer now emits the Metadata section, so stripe pruning works
+    on our own files (round 2: JVM files only)."""
+    from orc_rs_spark.orcfile.reader import prune_stripes, read_stripe_statistics
+
+    stats = read_stripe_statistics(indexed_orc)
+    assert len(stats) == 3
+    assert prune_stripes(indexed_orc, "k", 25000, 26000) == [1]
+    assert prune_stripes(indexed_orc, "k", 0, 10) == [0]
+
+
+def test_read_stripe_batches_bounded(indexed_orc):
+    r = OrcFileReader(indexed_orc)
+    sizes = [b.num_rows for b in r.read_stripe_batches(0, batch_rows=3000)]
+    assert sum(sizes) == 20000
+    assert max(sizes) <= 3000
+    # group-restricted batching
+    sel = [b.num_rows for b in r.read_stripe_batches(0, batch_rows=2000, row_groups=[1, 2, 3, 4, 10])]
+    assert sum(sel) == 5000 and max(sel) <= 2000
+
+
+@pytest.mark.parametrize("name", [
+    "TestOrcFile.testSnappy.orc", "TestVectorOrcFile.testLz4.orc",
+    "TestVectorOrcFile.testZstd.0.12.orc", "demo-12-zlib.orc",
+    "demo-11-zlib.orc", "nulls-at-end-snappy.orc", "orc-file-11-format.orc",
+])
+def test_golden_row_index_positional_decode(name):
+    """Group-by-group positional decode of JVM-written files equals the
+    full decode — validates our position semantics (compressed chunk
+    offsets, RLE run skips, PRESENT bit offsets) against the Java writer."""
+    import pyarrow as pa
+
+    r = OrcFileReader(f"{GOLD}/{name}")
+    reader, stripe = r._open_stripe(0)
+    names, subs = r._select(None)
+    index = reader.row_index()
+    for sub in subs:
+        r._check_group_support(reader, index, sub)
+    stride = r.tail.footer.row_index_stride
+    n_groups = -(-stripe.number_of_rows // stride)
+    got = pa.Table.from_batches(
+        list(r._decode_group_runs(reader, stripe, names, subs, list(range(n_groups)), 1))
+    )
+    full = pa.Table.from_batches([r.read_stripe(0)])
+    for c in full.column_names:
+        assert got.column(c).to_pylist() == full.column(c).to_pylist(), (name, c)
+
+
+@pytest.mark.spark
+def test_jvm_reads_our_indexed_file_with_pushdown(spark, indexed_orc):
+    """Spark's JVM reader consumes our ROW_INDEX positions during filtered
+    reads (orc.filterPushdown seeks via recorded positions)."""
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    df = spark.read.orc(indexed_orc)
+    assert df.count() == 50000
+    rows = df.filter("k >= 25500 AND k < 26500").orderBy("k").collect()
+    assert len(rows) == 1000
+    assert rows[0].k == 25500 and rows[-1].k == 26499
+    assert rows[0].toks == list(range(25500 % 5))
+    assert rows[17].s == (None if (25517 % 13 == 0) else f"word{25517 % 97}")
+    n_cat = df.filter("dct = 'cat3' AND k < 100").count()
+    assert n_cat == len([i for i in range(100) if i % 7 == 3])
+
+
+@pytest.mark.spark
+def test_read_orc_row_group_pruning(spark, indexed_orc):
+    """read_orc(predicate=...) prunes stripes AND row groups; result equals
+    an unpruned scan filtered row-level."""
+    from orc_rs_spark.orcfile.spark_source import read_orc
+
+    df = read_orc(spark, indexed_orc, predicate=("k", 25500, 26499))
+    got = df.filter("k BETWEEN 25500 AND 26499").orderBy("k").collect()
+    assert len(got) == 1000
+    assert [r.k for r in got[:3]] == [25500, 25501, 25502]
+    # pruned scan reads only the covering groups, not the whole file
+    assert df.count() < 5000  # 2 x 1000-row groups kept (+ boundary slack)
+
+
+# ----------------------------------------------------- varchar/char + misc
+
+
+def test_varchar_char_maximum_length(tmp_path):
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.spark_source import orc_schema_ddl
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    path = str(tmp_path / "vc.orc")
+    schema = pa.schema([
+        pa.field("v", pa.string(), metadata={b"orc_type": b"varchar(5)"}),
+        pa.field("c", pa.string(), metadata={b"orc_type": b"char(3)"}),
+        pa.field("k", pa.int32()),
+    ])
+    tbl = pa.table(
+        {"v": ["ab", "cdefg", "x"], "c": ["abc", "def", "ghi"], "k": [1, 2, 3]},
+        schema=schema,
+    )
+    write_orc(tbl, path)
+    assert orc_schema_ddl(path) == "v varchar(5), c char(3), k int"
+    r = OrcFileReader(path)
+    kinds = [(t.kind, t.maximum_length) for t in r.tail.footer.types]
+    assert ("varchar", 5) in kinds and ("char", 3) in kinds
+    assert r.read_all().column("v").to_pylist() == ["ab", "cdefg", "x"]
+
+
+@pytest.mark.spark
+def test_varchar_file_scans_as_string(spark, tmp_path):
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.spark_source import read_orc
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    path = str(tmp_path / "vc2.orc")
+    schema = pa.schema([pa.field("v", pa.string(), metadata={b"orc_type": b"varchar(5)"})])
+    write_orc(pa.table({"v": ["aa", "bb"]}, schema=schema), path)
+    df = read_orc(spark, path)  # scan DDL degrades to string (Arrow has no varchar)
+    assert df.schema.simpleString() == "struct<v:string>"
+    assert sorted(r.v for r in df.collect()) == ["aa", "bb"]
+    assert spark.read.orc(path).schema.simpleString() == "struct<v:string>"
+
+
+def test_encrypted_footer_rejected(tmp_path):
+    from orc_rs_spark.orcfile import writer as W
+
+    footer = W._field_varint(1, 3) + W._field_varint(2, 3)
+    # one long column type tree: struct root + long child
+    footer += W._field_bytes(4, W._field_varint(1, 12) + W._field_packed(2, [1]) + W._field_bytes(3, b"x"))
+    footer += W._field_bytes(4, W._field_varint(1, 4))
+    footer += W._field_varint(6, 0)
+    footer += W._field_bytes(10, b"")  # Footer.encryption present
+    ps = W._field_varint(1, len(footer)) + W._field_varint(2, 0)
+    ps += W._field_packed(4, [0, 12]) + W._field_varint(5, 0)
+    ps += W._field_bytes(8000, b"ORC")
+    blob = b"ORC" + footer + ps + bytes([len(ps)])
+    path = tmp_path / "enc.orc"
+    path.write_bytes(blob)
+    with pytest.raises(ValueError, match="[Ee]ncrypted"):
+        read_tail(str(path))

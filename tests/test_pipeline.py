@@ -89,3 +89,39 @@ def test_encode_table_rejects_wrong_shape(spark):
     df = spark.createDataFrame([(1, "x")], "a bigint, b string")
     with pytest.raises(ValueError, match="missing column"):
         encode_table(df)
+
+
+@pytest.mark.spark
+def test_resume_refuses_old_partition_scheme(spark, tmp_path):
+    """A checkpoint written under a different bucket-map version must not
+    resume (half the rows would map into already-'done' buckets)."""
+    from orc_rs_spark.pipeline import CHECKPOINT_DDL
+
+    cp_dir = str(tmp_path / "cp_v1")
+    # simulate a v1-era checkpoint row
+    spark.createDataFrame(
+        [(0, "done", 1, ["c0"], 10, 100, 50, 5, 1, 1)], CHECKPOINT_DDL
+    ).write.parquet(cp_dir)
+    with pytest.raises(ValueError, match="scheme version"):
+        done_buckets(spark, cp_dir)
+
+    # pre-versioning checkpoints (no scheme_version column) refuse too
+    cp_dir2 = str(tmp_path / "cp_legacy")
+    spark.createDataFrame(
+        [(0, "done")], "part_id int, status string"
+    ).write.parquet(cp_dir2)
+    with pytest.raises(ValueError, match="scheme version"):
+        done_buckets(spark, cp_dir2)
+
+
+def test_decimal256_rejected():
+    import pyarrow as pa
+
+    from orc_rs_spark.generic import _encode_column
+    from orc_rs_spark.orcfile.writer import _arrow_to_orc_kind
+
+    arr = pa.array([1, 2], type=pa.decimal256(50, 2))
+    with pytest.raises(TypeError, match="decimal128"):
+        _encode_column(arr)
+    with pytest.raises(TypeError, match="decimal128"):
+        _arrow_to_orc_kind(pa.decimal256(50, 2))
