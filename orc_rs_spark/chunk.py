@@ -144,7 +144,10 @@ def _scatter(dense: pa.Array, present: np.ndarray | None) -> pa.Array:
 def _maybe_block(data: bytes, block_codec: str) -> tuple[bytes, str]:
     if block_codec == "none" or len(data) < 64:
         return data, "none"
-    # level 7: measured same throughput as 6 on these streams, ~1% smaller
+    # level 7, kept deliberately after a controlled r3 re-measure: dropping
+    # to 6 saves ~6% encode wall but costs 0.1-0.7% bytes, and the
+    # <=Spark-ORC size gate fails at level 6 on small tables (1.007) while
+    # holding at 7 (0.989-0.999). The bytes gate wins the tradeoff.
     comp = block_compress(data, block_codec, level=7)
     if len(comp) < len(data):
         return comp, block_codec

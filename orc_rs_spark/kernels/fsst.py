@@ -6,11 +6,20 @@ learned symbol table, code 255 escaping literal bytes.
 
 Vectorization note: the paper's encoder is a sequential greedy longest-match
 scan (up to 8-byte symbols). To stay NumPy-vectorized (no per-byte Python)
-this implementation restricts symbols to lengths 1-2 and proves the greedy
-parse equal to an alternate-position selection inside maximal runs of
-matchable positions — computable with cumsum/flatnonzero in one pass. Longer
-structure (4-byte repeats) is captured by applying the codec recursively
-(``rounds=2``); the auto-selector picks the round count by measured size.
+this implementation parses in staged width order (4, 3, 2, 1/escape):
+
+- width 2 uses an exact greedy equivalence: inside each maximal run of
+  matchable positions the greedy parse picks alternating positions, and a
+  run is never entered mid-way (the position before a run start is not a
+  candidate) — one cumsum pass.
+- widths 3-4 use ``_select_nonoverlap``: stride-w selection inside runs,
+  then a bounded number of vectorized conflict-drop passes across run
+  boundaries. This may drop a few matches exact greedy would keep (the
+  decode only needs a VALID parse, which this always is), in exchange for
+  zero per-byte Python.
+
+Longer structure still compounds by applying the codec recursively
+(``rounds=2+``); the auto-selector picks the round count by measured size.
 
 Layout: [flag:1B (0=stored,1..k=fsst rounds)] + per round:
 [n_codes:1B][sym_len:n_codes B][sym bytes][payload...].
@@ -22,100 +31,178 @@ import numpy as np
 
 ESCAPE = 255
 MAX_CODES = 255  # codes 0..254
+MAX_SYM = 4  # symbol widths 1..4
 
 
-def _run_parity_select(cand: np.ndarray) -> np.ndarray:
-    """Greedy non-overlapping selection of 2-wide matches.
+def _select_positions(pos: np.ndarray, w: int) -> np.ndarray:
+    """Greedy-ish non-overlapping selection among sorted match positions.
 
-    Within each maximal run of consecutive candidate positions, the greedy
-    left-to-right parse picks the 0th, 2nd, 4th... position (a match covers
-    its position and the next; a run is never entered mid-way because the
-    position before a run start is, by definition, not a candidate).
-    """
-    if not cand.any():
-        return cand
-    idx = np.arange(len(cand))
-    run_start = cand & ~np.concatenate(([False], cand[:-1]))
-    run_id = np.cumsum(run_start) - 1
-    starts = idx[run_start]
-    offset = idx - starts[np.clip(run_id, 0, None)]
-    return cand & (offset % 2 == 0)
+    Within each maximal run of CONSECUTIVE candidate positions, the greedy
+    left-to-right parse picks offsets 0, w, 2w... (a run is never entered
+    mid-way: the position before a run start is not a candidate). For
+    w == 2 this is exactly greedy and chosen matches never collide across
+    runs (runs are >= 2 apart). For w >= 3 cross-run collisions are
+    possible; bounded drop-the-later passes plus a final sweep keep the
+    parse VALID (decode needs nothing more) at a tiny optimality cost.
+    All work is O(#candidates), not O(input)."""
+    if len(pos) == 0:
+        return pos
+    new_run = np.empty(len(pos), dtype=bool)
+    new_run[0] = True
+    np.greater(np.diff(pos), 1, out=new_run[1:])
+    run_id = np.cumsum(new_run) - 1
+    starts = pos[new_run]
+    pos = pos[(pos - starts[run_id]) % w == 0]
+    if w <= 2:
+        return pos
+    for _ in range(8):
+        if len(pos) < 2:
+            break
+        bad = np.zeros(len(pos), dtype=bool)
+        bad[1:] = np.diff(pos) < w
+        drop = bad & ~np.concatenate(([False], bad[:-1]))
+        if not drop.any():
+            break
+        pos = pos[~drop]
+    if len(pos) >= 2:
+        bad = np.zeros(len(pos), dtype=bool)
+        bad[1:] = np.diff(pos) < w
+        pos = pos[~bad]
+    return pos
+
+
+def _gram_values(a: np.ndarray, w: int) -> np.ndarray:
+    """Big-endian integer value of every width-w window (int64)."""
+    n = len(a)
+    if n < w:
+        return np.empty(0, dtype=np.int64)
+    v = a[: n - w + 1].astype(np.int64)
+    for j in range(1, w):
+        v = v * 256 + a[j : n - w + 1 + j]
+    return v
+
+
+def _top_grams(a: np.ndarray, w: int, limit: int = 512, min_count: int = 4):
+    vals = _gram_values(a, w)
+    if not len(vals):
+        return []
+    if w >= 3 and len(vals) > 1 << 17:
+        # stride-sample wide grams: frequency RANKING survives 2x
+        # decimation and training cost halves (counts are rescaled)
+        vals = vals[::2]
+        uniq, counts = np.unique(vals, return_counts=True)
+        counts = counts * 2
+    else:
+        uniq, counts = np.unique(vals, return_counts=True)
+    order = np.argsort(counts)[::-1][:limit]
+    return [
+        (int(counts[i]), w, int(uniq[i])) for i in order if counts[i] >= min_count
+    ]
 
 
 def _train(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Pick up to 255 symbols (single bytes + frequent pairs) by savings.
-
-    Returns (sym_lens uint8 array, sym_bytes (k,2) uint8 array).
-    """
-    sample = a if len(a) <= 1 << 20 else a[: 1 << 20]
+    """Pick up to 255 symbols (single bytes + frequent 2-4 byte grams) by
+    estimated savings. Returns (sym_lens uint8, sym_bytes (k, MAX_SYM))."""
+    sample = a if len(a) <= 1 << 19 else a[: 1 << 19]
     bfreq = np.bincount(sample, minlength=256).astype(np.int64)
-    if len(sample) >= 2:
-        pv = sample[:-1].astype(np.int32) * 256 + sample[1:]
-        pfreq = np.bincount(pv, minlength=65536).astype(np.int64)
-    else:
-        pfreq = np.zeros(65536, dtype=np.int64)
-    # gains: single byte b: each occurrence 2 bytes (escape) -> 1 code
-    # pair p: 2 bytes (as two single codes) -> 1 code; slightly discounted
-    # because pair matches also consume single-byte occurrences
     singles = np.flatnonzero(bfreq > 0)
     cand = [(int(bfreq[b]), 1, int(b)) for b in singles]
-    top_pairs = np.argsort(pfreq)[::-1][:512]
-    cand += [(int(pfreq[p]), 2, int(p)) for p in top_pairs if pfreq[p] >= 4]
+    for w in (2, 3, 4):
+        cand += _top_grams(sample, w)
+    # score: occurrences x (bytes replaced - code emitted), discounted
+    # half a byte for cannibalizing shorter matches
     cand.sort(key=lambda t: (-t[0] * (t[1] - 0.5), t[1]))
     cand = cand[:MAX_CODES]
     lens = np.array([c[1] for c in cand], dtype=np.uint8)
-    syms = np.zeros((len(cand), 2), dtype=np.uint8)
+    syms = np.zeros((len(cand), MAX_SYM), dtype=np.uint8)
     for i, (_, ln, key) in enumerate(cand):
-        if ln == 1:
-            syms[i, 0] = key
-        else:
-            syms[i, 0] = key >> 8
-            syms[i, 1] = key & 0xFF
+        for j in range(ln - 1, -1, -1):
+            syms[i, j] = key & 0xFF
+            key >>= 8
     return lens, syms
 
 
 def _encode_round(a: np.ndarray) -> bytes:
     lens, syms = _train(a)
     k = len(lens)
+    n = len(a)
     lut1 = np.full(256, -1, dtype=np.int32)
     lut2 = np.full(65536, -1, dtype=np.int32)
+    wide: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for w in (3, 4):
+        sel = np.flatnonzero(lens == w)
+        if len(sel):
+            keys = np.zeros(len(sel), dtype=np.int64)
+            for j in range(w):
+                keys = keys * 256 + syms[sel, j]
+            order = np.argsort(keys)
+            wide[w] = (keys[order], sel[order].astype(np.int32))
     for code in range(k):
         if lens[code] == 1:
             lut1[syms[code, 0]] = code
-        else:
+        elif lens[code] == 2:
             lut2[syms[code, 0].astype(np.int32) * 256 + syms[code, 1]] = code
-    n = len(a)
-    if n >= 2:
-        pv = a[:-1].astype(np.int32) * 256 + a[1:]
-        cand = lut2[pv] >= 0
-        chosen = _run_parity_select(cand)
-    else:
-        chosen = np.zeros(0, dtype=bool)
+
     covered = np.zeros(n, dtype=bool)
-    ch_idx = np.flatnonzero(chosen)
-    covered[ch_idx] = True
-    covered[ch_idx + 1] = True
-    first = np.zeros(n, dtype=bool)
-    first[ch_idx] = True
+    code_at = np.full(n, -1, dtype=np.int64)  # code id at each match start
+    pv2 = a[:-1].astype(np.int32) * 256 + a[1:] if n >= 2 else np.empty(0, np.int32)
+    # first-2-byte prefilter for wide symbols: candidate positions shrink
+    # from O(n) to the few spots whose prefix matches any wide symbol, so
+    # the sorted-key lookups run over candidates only
+    wide_prefix = np.zeros(65536, dtype=bool)
+    for w, (keys, _codes) in wide.items():
+        wide_prefix[(keys >> (8 * (w - 2))).astype(np.int64)] = True
+    # staged longest-first: 4-byte, then 3-byte symbols on free bytes
+    for w in (4, 3):
+        if w not in wide or n < w:
+            continue
+        keys, codes = wide[w]
+        pos = np.flatnonzero(wide_prefix[pv2[: n - w + 1]])
+        if not len(pos):
+            continue
+        gv = a[pos].astype(np.int64)
+        free = ~covered[pos]
+        for j in range(1, w):
+            gv = gv * 256 + a[pos + j]
+            free &= ~covered[pos + j]
+        ii = np.clip(np.searchsorted(keys, gv), 0, len(keys) - 1)
+        hit = (keys[ii] == gv) & free
+        pos, ii = pos[hit], ii[hit]
+        pos_sel = _select_positions(pos, w)
+        if not len(pos_sel):
+            continue
+        keep = np.searchsorted(pos, pos_sel)
+        for j in range(w):
+            covered[pos_sel + j] = True
+        code_at[pos_sel] = codes[ii[keep]]
+    # width-2 symbols on the residual (exact greedy within runs)
+    if n >= 2:
+        c2 = (lut2[pv2] >= 0) & ~covered[:-1] & ~covered[1:]
+        pos2 = _select_positions(np.flatnonzero(c2), 2)
+        covered[pos2] = True
+        covered[pos2 + 1] = True
+        code_at[pos2] = lut2[pv2[pos2]]
+
     single_code = lut1[a]
     is_single = ~covered & (single_code >= 0)
     is_escape = ~covered & (single_code < 0)
+    starts = code_at >= 0
     out_len = np.zeros(n, dtype=np.int64)
-    out_len[first] = 1
+    out_len[starts] = 1
     out_len[is_single] = 1
     out_len[is_escape] = 2
     out_pos = np.concatenate(([0], np.cumsum(out_len)[:-1])) if n else np.empty(0, np.int64)
     total = int(out_len.sum())
     out = np.empty(total, dtype=np.uint8)
-    if len(ch_idx):
-        out[out_pos[ch_idx]] = lut2[pv[ch_idx]].astype(np.uint8)
+    sm = np.flatnonzero(starts)
+    out[out_pos[sm]] = code_at[sm].astype(np.uint8)
     si = np.flatnonzero(is_single)
     out[out_pos[si]] = single_code[si].astype(np.uint8)
     ei = np.flatnonzero(is_escape)
     out[out_pos[ei]] = ESCAPE
     out[out_pos[ei] + 1] = a[ei]
     # symbol bytes: only the used length of each symbol
-    sym_stream = syms[np.arange(2)[None, :] < lens[:, None].astype(np.int64)].tobytes()
+    sym_stream = syms[np.arange(MAX_SYM)[None, :] < lens[:, None].astype(np.int64)].tobytes()
     return bytes([k]) + lens.tobytes() + sym_stream + out.tobytes()
 
 
@@ -126,7 +213,7 @@ def _decode_round(buf: np.ndarray) -> tuple[np.ndarray, int]:
     sym_stream_len = int(lens.sum())
     sym_flat = buf[1 + k : 1 + k + sym_stream_len]
     # extended table: rows 0..k-1 = symbols, rows 256..511 = literal bytes
-    table = np.zeros((512, 2), dtype=np.uint8)
+    table = np.zeros((512, MAX_SYM), dtype=np.uint8)
     tlens = np.zeros(512, dtype=np.int64)
     starts = np.cumsum(lens) - lens
     tlens[:k] = lens
@@ -137,17 +224,15 @@ def _decode_round(buf: np.ndarray) -> tuple[np.ndarray, int]:
     tlens[256:] = 1
     table[256:, 0] = np.arange(256)
     codes = buf[1 + k + sym_stream_len :]
-    esc_cand = codes == ESCAPE
-    is_esc = _run_parity_select(esc_cand)
+    esc_idx = _select_positions(np.flatnonzero(codes == ESCAPE), 2)
     vals = codes.astype(np.int32)
-    esc_idx = np.flatnonzero(is_esc)
     vals[esc_idx + 1] += 256
     keep = np.ones(len(codes), dtype=bool)
     keep[esc_idx] = False
     sel = vals[keep]
     ln = tlens[sel]
     mat = table[sel]
-    mask = np.arange(2)[None, :] < ln[:, None]
+    mask = np.arange(MAX_SYM)[None, :] < ln[:, None]
     return mat[mask], 1 + k + sym_stream_len
 
 

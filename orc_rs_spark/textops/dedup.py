@@ -400,6 +400,21 @@ def embedding_lsh_pairs(
     return _verify_cos_pairs(embeddings, cand, threshold)
 
 
+def _unpack_vec_block(col, r: int):
+    """One packed block row -> (ids int64[n], matrix float64[n, dim]),
+    via Arrow buffer views (flatten + field), zero Python objects per
+    vector."""
+    vecs = col.slice(r, 1).flatten()  # StructArray: this row's vectors
+    ids = vecs.field("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = vecs.field("embedding")
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    mat = np.ascontiguousarray(
+        flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 1),
+        dtype=np.float64,
+    )
+    return ids, mat
+
+
 def embedding_block_pairs(
     embeddings: DataFrame, threshold: float = 0.4, block_size: int = 1024, dim: int = 64
 ) -> DataFrame:
@@ -434,12 +449,14 @@ def embedding_block_pairs(
 
     def block_cos(batches: Iterator[pa_mod.RecordBatch]) -> Iterator[pa_mod.RecordBatch]:
         for batch in batches:
-            rows = batch.to_pylist()
-            for row in rows:
-                ids_a = np.array([v["vec_id"] for v in row["vecs_a"]], dtype=np.int64)
-                mat_a = np.array([v["embedding"] for v in row["vecs_a"]], dtype=np.float64)
-                ids_b = np.array([v["vec_id"] for v in row["vecs_b"]], dtype=np.int64)
-                mat_b = np.array([v["embedding"] for v in row["vecs_b"]], dtype=np.float64)
+            col_a = batch.column("vecs_a")
+            col_b = batch.column("vecs_b")
+            for r in range(batch.num_rows):
+                # Arrow struct-field extraction + flatten: ids and the
+                # (block x dim) matrix come straight from Arrow buffers —
+                # no per-vector Python lists on the hot path
+                ids_a, mat_a = _unpack_vec_block(col_a, r)
+                ids_b, mat_b = _unpack_vec_block(col_b, r)
                 na = np.linalg.norm(mat_a, axis=1)
                 nb = np.linalg.norm(mat_b, axis=1)
                 na[na == 0] = np.inf

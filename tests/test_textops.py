@@ -256,3 +256,24 @@ def test_attach_real_media_and_features(spark):
     feats = {r["doc_id"]: r for r in extract_features(attach_real_media(docs)).collect()}
     assert len(feats[0]["feature"]) == 16 and len(feats[1]["feature"]) == 16
     assert feats[1]["height"] == 1 and feats[1]["width"] == 64 + 88 % 129
+
+
+def test_unpack_vec_block_arrow_native():
+    """Blocked-matmul input path: ids + matrix come from Arrow buffers
+    (no per-vector to_pylist)."""
+    import pyarrow as pa
+
+    from orc_rs_spark.textops.dedup import _unpack_vec_block
+
+    rows = [
+        [{"vec_id": 3, "embedding": [1.0, 2.0]}, {"vec_id": 9, "embedding": [0.5, -1.0]}],
+        [{"vec_id": 4, "embedding": [7.0, 8.0]}],
+    ]
+    col = pa.array(rows, type=pa.list_(
+        pa.struct([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])
+    ))
+    ids, mat = _unpack_vec_block(col, 0)
+    assert ids.dtype == np.int64 and mat.dtype == np.float64
+    assert ids.tolist() == [3, 9] and mat.tolist() == [[1.0, 2.0], [0.5, -1.0]]
+    ids2, mat2 = _unpack_vec_block(col, 1)
+    assert ids2.tolist() == [4] and mat2.tolist() == [[7.0, 8.0]]
