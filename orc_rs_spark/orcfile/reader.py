@@ -35,6 +35,50 @@ TAIL_BUFFER_SIZE = 16 * 1024
 TS_BASE_SECONDS = 1420070400
 
 
+class FileSource:
+    """Positional byte source over a local file (the reference's
+    OrcFile/FileSource abstraction, src/source.rs:11-62). Every reader
+    access is a bounded (offset, length) range read, so an object-store
+    implementation (S3/GCS ranged GET) slots in with no reader changes:
+    anything with ``size()`` and ``read_at()`` works."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def size(self) -> int:
+        import os
+
+        return os.path.getsize(self.path)
+
+    def read_at(self, offset: int, length: int) -> bytes:
+        with open(self.path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+
+class MemorySource:
+    """In-memory byte source (reference MemoryReader, src/source.rs:114-174)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.path = "<memory>"
+
+    def size(self) -> int:
+        return len(self.data)
+
+    def read_at(self, offset: int, length: int) -> bytes:
+        return self.data[offset : offset + length]
+
+
+def as_source(src):
+    """str path / bytes / any size()+read_at() object -> byte source."""
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return MemorySource(bytes(src))
+    if hasattr(src, "read_at") and hasattr(src, "size"):
+        return src
+    return FileSource(src)
+
+
 def _inner_decompress(block: bytes, codec: str) -> bytes:
     if codec == "zlib":
         return zlib.decompress(block, wbits=-15)
@@ -111,55 +155,52 @@ class OrcTail:
         return list(self.footer.types[0].field_names)
 
 
-def read_tail(path: str) -> OrcTail:
-    with open(path, "rb") as f:
-        f.seek(0, 2)
-        file_len = f.tell()
-        read_pos = max(0, file_len - TAIL_BUFFER_SIZE)
-        f.seek(read_pos)
-        buf = f.read(file_len - read_pos)
-        ps_len = buf[-1]
-        ps = proto.PostScript.parse(buf[len(buf) - 1 - ps_len : len(buf) - 1])
-        if ps.magic != "ORC":
-            raise ValueError(f"invalid postscript magic {ps.magic!r}")
-        tail_size = ps.footer_length + ps_len + 1
-        if tail_size >= file_len:
-            raise ValueError(f"invalid tail size {tail_size} >= file size {file_len}")
-        if ps.footer_length <= len(buf) - 1 - ps_len:
-            footer_comp = buf[len(buf) - 1 - ps_len - ps.footer_length : len(buf) - 1 - ps_len]
-        else:
-            f.seek(file_len - tail_size)
-            footer_comp = f.read(ps.footer_length)
-        footer = proto.Footer.parse(orc_stream_decompress(footer_comp, ps.compression))
-        if footer.encrypted:
-            raise ValueError(
-                "encrypted ORC files are not supported (footer carries an "
-                "Encryption section; reference rejects these too, "
-                "src/tail.rs:86-88)"
-            )
-        return OrcTail(postscript=ps, footer=footer, file_length=file_len)
+def read_tail(path) -> OrcTail:
+    """Parse the file tail from a path, bytes, or byte source — one
+    speculative 16 KiB range read (reference src/tail.rs:38,52-59), plus a
+    second ranged read only when the footer outgrows the speculation."""
+    src = as_source(path)
+    file_len = src.size()
+    read_pos = max(0, file_len - TAIL_BUFFER_SIZE)
+    buf = src.read_at(read_pos, file_len - read_pos)
+    if not buf:
+        raise ValueError("empty ORC file")
+    ps_len = buf[-1]
+    ps = proto.PostScript.parse(buf[len(buf) - 1 - ps_len : len(buf) - 1])
+    if ps.magic != "ORC":
+        raise ValueError(f"invalid postscript magic {ps.magic!r}")
+    tail_size = ps.footer_length + ps_len + 1
+    if tail_size >= file_len:
+        raise ValueError(f"invalid tail size {tail_size} >= file size {file_len}")
+    if ps.footer_length <= len(buf) - 1 - ps_len:
+        footer_comp = buf[len(buf) - 1 - ps_len - ps.footer_length : len(buf) - 1 - ps_len]
+    else:
+        footer_comp = src.read_at(file_len - tail_size, ps.footer_length)
+    footer = proto.Footer.parse(orc_stream_decompress(footer_comp, ps.compression))
+    if footer.encrypted:
+        raise ValueError(
+            "encrypted ORC files are not supported (footer carries an "
+            "Encryption section; reference rejects these too, "
+            "src/tail.rs:86-88)"
+        )
+    return OrcTail(postscript=ps, footer=footer, file_length=file_len)
 
 
-def read_stripe_statistics(path: str, tail: OrcTail | None = None) -> list[list[proto.ColumnStatistics]]:
+def read_stripe_statistics(path, tail: OrcTail | None = None) -> list[list[proto.ColumnStatistics]]:
     """Per-stripe column statistics from the file's Metadata section —
     the pruning index the reference parses but never uses
     (/root/reference/src/tail.rs:113-132, src/stripe.rs:171 TODO).
     Returns stats[stripe][column]; empty list when the section is absent."""
+    src = as_source(path)
     if tail is None:
-        tail = read_tail(path)
+        tail = read_tail(src)
     ps = tail.postscript
     if ps.metadata_length == 0:
         return []
-    with open(path, "rb") as f:
-        f.seek(0, 2)
-        file_len = f.tell()
-        ps_len_byte = 1
-        # postscript length byte count: re-read the last byte
-        f.seek(file_len - 1)
-        ps_len = f.read(1)[0]
-        meta_off = file_len - ps_len - ps_len_byte - ps.footer_length - ps.metadata_length
-        f.seek(meta_off)
-        raw = f.read(ps.metadata_length)
+    file_len = src.size()
+    ps_len = src.read_at(file_len - 1, 1)[0]
+    meta_off = file_len - ps_len - 1 - ps.footer_length - ps.metadata_length
+    raw = src.read_at(meta_off, ps.metadata_length)
     meta = proto.decode_fields(orc_stream_decompress(raw, ps.compression))
     out = []
     for ss in meta.get(1, []):  # repeated StripeStatistics
@@ -605,18 +646,25 @@ class _StripeColumnReader:
 
 
 class OrcFileReader:
-    """Reads a whole ORC file (or selected stripes) into pyarrow batches."""
+    """Reads a whole ORC file (or selected stripes) into pyarrow batches.
 
-    def __init__(self, path: str):
-        self.path = path
-        self.tail = read_tail(path)
+    Accepts a local path, raw bytes, or any positional byte source with
+    ``size()``/``read_at()`` (src/source.rs parity) — every access is a
+    bounded range read, never a whole-file scan, so at 100 TB on object
+    storage each task pulls only its stripes' byte ranges."""
+
+    def __init__(self, path):
+        self.source = as_source(path)
+        self.path = getattr(self.source, "path", "<source>")
+        self.tail = read_tail(self.source)
         self.codec = self.tail.postscript.compression
 
     def _open_stripe(self, i: int):
         stripe = self.tail.footer.stripes[i]
-        with open(self.path, "rb") as f:
-            f.seek(stripe.offset)
-            raw = f.read(stripe.index_length + stripe.data_length + stripe.footer_length)
+        raw = self.source.read_at(
+            stripe.offset,
+            stripe.index_length + stripe.data_length + stripe.footer_length,
+        )
         sfooter = proto.StripeFooter.parse(
             orc_stream_decompress(
                 raw[stripe.index_length + stripe.data_length :], self.codec
@@ -760,11 +808,11 @@ class OrcFileReader:
         stripe = self.tail.footer.stripes[i]
         if stripe.index_length == 0:
             return {}
-        with open(self.path, "rb") as f:
-            f.seek(stripe.offset)
-            idx = f.read(stripe.index_length)
-            f.seek(stripe.offset + stripe.index_length + stripe.data_length)
-            sf_raw = f.read(stripe.footer_length)
+        idx = self.source.read_at(stripe.offset, stripe.index_length)
+        sf_raw = self.source.read_at(
+            stripe.offset + stripe.index_length + stripe.data_length,
+            stripe.footer_length,
+        )
         sfooter = proto.StripeFooter.parse(orc_stream_decompress(sf_raw, self.codec))
         out: dict[int, list[proto.RowIndexEntry]] = {}
         pos = 0

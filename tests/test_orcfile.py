@@ -914,3 +914,56 @@ def test_encrypted_footer_rejected(tmp_path):
     path.write_bytes(blob)
     with pytest.raises(ValueError, match="[Ee]ncrypted"):
         read_tail(str(path))
+
+
+# ----------------------------------------------------- byte-range sources
+
+
+def test_memory_source_reads_identical(indexed_orc):
+    """Reader over bytes (MemorySource) == reader over the file path."""
+    from orc_rs_spark.orcfile import MemorySource
+
+    blob = open(indexed_orc, "rb").read()
+    rm = OrcFileReader(MemorySource(blob))
+    rf = OrcFileReader(indexed_orc)
+    a = rm.read_all()
+    b = rf.read_all()
+    assert a.num_rows == b.num_rows
+    assert a.column("k").to_pylist() == b.column("k").to_pylist()
+    got = rm.read_stripe(0, row_groups=[4])
+    assert got.column("k").to_pylist() == list(range(4000, 5000))
+
+
+def test_reader_issues_bounded_range_reads(indexed_orc):
+    """Every reader access is a positional (offset, length) range read —
+    an object-store source slots in with no whole-file scans. A pruned
+    point lookup must NOT read the whole file."""
+    import os
+
+    class CountingSource:
+        def __init__(self, path):
+            self.path = path
+            self.reads = []  # (offset, length)
+
+        def size(self):
+            return os.path.getsize(self.path)
+
+        def read_at(self, offset, length):
+            self.reads.append((offset, length))
+            with open(self.path, "rb") as f:
+                f.seek(offset)
+                return f.read(length)
+
+    src = CountingSource(indexed_orc)
+    r = OrcFileReader(src)
+    tail_reads = list(src.reads)
+    assert len(tail_reads) <= 2  # speculative 16 KiB (+1 if footer larger)
+    groups = r.prune_row_groups(1, "k", 25500, 25700)
+    assert groups == [5]
+    batch = r.read_stripe(1, row_groups=groups)
+    assert batch.num_rows == 1000
+    total_read = sum(ln for _, ln in src.reads)
+    fsize = src.size()
+    # index region + one stripe's bytes, never a whole-file scan pattern
+    assert all(ln < fsize for _, ln in src.reads)
+    assert total_read < fsize
