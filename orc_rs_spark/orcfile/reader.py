@@ -223,6 +223,25 @@ def _stats_overlap(st: proto.ColumnStatistics, lo, hi) -> bool:
     return not (smax < lo or smin > hi)
 
 
+def _bloom_test(bloom, value) -> bool:
+    """Type-dispatched bloom probe matching the Java writer's hashing:
+    ints (and dates as ints) via the Thomas Wang mix, floats via
+    doubleToLongBits -> long hash, strings/bytes via Murmur3 hash64."""
+    import struct as _s
+
+    if isinstance(value, bool):
+        return True  # boolean columns carry no blooms
+    if isinstance(value, (int, np.integer)):
+        return bloom.test_long(int(value))
+    if isinstance(value, float):
+        return bloom.test_long(_s.unpack("<q", _s.pack("<d", value))[0])
+    if isinstance(value, str):
+        return bloom.test_bytes(value.encode("utf-8"))
+    if isinstance(value, (bytes, bytearray)):
+        return bloom.test_bytes(bytes(value))
+    return True  # unknown type: never prune on a guess
+
+
 def _runs(sorted_ids: list[int]) -> list[tuple[int, int]]:
     """Collapse a sorted id list into (start, length) consecutive runs."""
     runs: list[tuple[int, int]] = []
@@ -802,34 +821,57 @@ class OrcFileReader:
             full = pa.concat_tables(parts)
         yield from full.to_batches(max_chunksize=batch_rows)
 
-    def read_row_index(self, i: int) -> dict[int, list[proto.RowIndexEntry]]:
-        """Parse stripe i's ROW_INDEX streams from the index region alone
-        (no data bytes touched) — for planning-time group pruning."""
+    def _read_index_region(self, i: int):
+        """(row_index, bloom_index) for stripe i from the index region
+        alone — no data bytes touched."""
         stripe = self.tail.footer.stripes[i]
         if stripe.index_length == 0:
-            return {}
+            return {}, {}
         idx = self.source.read_at(stripe.offset, stripe.index_length)
         sf_raw = self.source.read_at(
             stripe.offset + stripe.index_length + stripe.data_length,
             stripe.footer_length,
         )
         sfooter = proto.StripeFooter.parse(orc_stream_decompress(sf_raw, self.codec))
-        out: dict[int, list[proto.RowIndexEntry]] = {}
+        rows: dict[int, list[proto.RowIndexEntry]] = {}
+        blooms: dict[int, list] = {}
         pos = 0
         for s in sfooter.streams:
             if pos >= stripe.index_length:
                 break
             if s.kind == "ROW_INDEX":
-                out[s.column] = proto.parse_row_index(
+                rows[s.column] = proto.parse_row_index(
                     orc_stream_decompress(idx[pos : pos + s.length], self.codec)
                 )
+            elif s.kind in ("BLOOM_FILTER", "BLOOM_FILTER_UTF8"):
+                from orc_rs_spark.kernels.orc_bloom import OrcBloom
+
+                raw = orc_stream_decompress(idx[pos : pos + s.length], self.codec)
+                blooms[s.column] = [
+                    OrcBloom.from_proto(proto.decode_fields(e))
+                    for e in proto.decode_fields(raw).get(1, [])
+                ]
             pos += s.length
-        return out
+        return rows, blooms
+
+    def read_row_index(self, i: int) -> dict[int, list[proto.RowIndexEntry]]:
+        """Parse stripe i's ROW_INDEX streams from the index region alone
+        (no data bytes touched) — for planning-time group pruning."""
+        return self._read_index_region(i)[0]
+
+    def read_bloom_index(self, i: int) -> dict[int, list]:
+        """col -> per-group OrcBloom filters (BLOOM_FILTER_UTF8 / legacy
+        BLOOM_FILTER streams) — the index the reference validates but
+        never probes (src/stripe.rs:209-219)."""
+        return self._read_index_region(i)[1]
 
     def prune_row_groups(self, i: int, column: str, lo, hi) -> list[int] | None:
         """Row-group ids in stripe i whose [min, max] for ``column``
         overlaps [lo, hi]; None when the file carries no usable index
-        (caller decodes everything)."""
+        (caller decodes everything). Point predicates (lo == hi)
+        additionally probe the column's bloom filters when present —
+        stats keep a group whose RANGE covers the value, the bloom drops
+        it unless the value was (probably) actually written."""
         stride = self.tail.footer.row_index_stride
         if stride <= 0:
             return None
@@ -840,15 +882,23 @@ class OrcFileReader:
             return None
         col_id = root.subtypes[root.field_names.index(column)]
         try:
-            entries = self.read_row_index(i).get(col_id)
+            rows, blooms = self._read_index_region(i)
         except ValueError:
             return None
+        entries = rows.get(col_id)
         if not entries or len(entries) != n_groups:
             return None
-        return [
+        keep = [
             g for g, e in enumerate(entries)
             if e.statistics is None or _stats_overlap(e.statistics, lo, hi)
         ]
+        col_blooms = blooms.get(col_id)
+        if lo == hi and col_blooms is not None and len(col_blooms) == n_groups:
+            keep = [
+                g for g in keep
+                if col_blooms[g] is None or _bloom_test(col_blooms[g], lo)
+            ]
+        return keep
 
     def arrow_schema(self) -> pa.Schema:
         """Arrow schema from the footer type tree (metadata only)."""

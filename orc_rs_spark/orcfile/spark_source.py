@@ -219,7 +219,7 @@ def read_orc(
 
 def write_orc_dir(
     df: DataFrame, out_dir: str, compression: str = "zlib", stripe_rows: int = 65536,
-    row_index_stride: int = 10000,
+    row_index_stride: int = 10000, bloom_columns: list[str] | None = None,
 ) -> int:
     """Distributed ORC sink: each task STREAMS its partition into one ORC
     file (the layout every distributed ORC writer uses — a directory of
@@ -247,7 +247,7 @@ def write_orc_dir(
                 writer = OrcWriter(
                     f"{out_dir}/part-{pid:05d}.orc", b.schema,
                     compression=compression, stripe_rows=stripe_rows,
-                    row_index_stride=row_index_stride,
+                    row_index_stride=row_index_stride, bloom_columns=bloom_columns,
                 )
             writer.write_batch(b)
         n = 0

@@ -191,6 +191,28 @@ def q_orc_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_bloom_pruned",
+    "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey = 371",
+)
+def q_orc_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter row-group pruning on the ORC wire: o_custkey is
+    uniform-random, so min/max statistics cannot drop ANY group for a
+    point lookup — only the per-group bloom filters can (the index the
+    reference validates but never probes, src/stripe.rs:209-219). Hash
+    contracts (signed-shift Thomas Wang for longs, Murmur3 hash64 for
+    utf8) are bytecode-verified against the bundled Java writer and
+    cross-checked both directions in tests."""
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = _pq(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    out_dir = _scratch_dir("orc_bloom_pruned")
+    write_orc_dir(df.coalesce(1), out_dir, compression="zlib", stripe_rows=8192,
+                  row_index_stride=1024, bloom_columns=["o_custkey"])
+    scan = read_orc(spark, out_dir, predicate=("o_custkey", 371, 371))
+    return scan.filter(F.col("o_custkey") == 371)
+
+
+@register(
     "chunk_stats_tokens",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

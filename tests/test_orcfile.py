@@ -967,3 +967,90 @@ def test_reader_issues_bounded_range_reads(indexed_orc):
     # index region + one stripe's bytes, never a whole-file scan pattern
     assert all(ln < fsize for _, ln in src.reads)
     assert total_read < fsize
+
+
+# ----------------------------------------------------- bloom filter index
+
+
+@pytest.fixture(scope="module")
+def jvm_bloom_orc(tmp_path_factory):
+    """A JVM-written ORC file with bloom filters — ground truth for the
+    hash contracts."""
+    import glob as _glob
+
+    from orc_rs_spark.session import get_spark
+
+    s = get_spark(master="local[2]", shuffle_partitions=2, app_name="bloom-gold")
+    d = str(tmp_path_factory.mktemp("bloomjvm") / "g")
+    df = s.range(0, 30000).selectExpr(
+        "id AS k", "concat('word', cast(id % 997 AS string)) AS s"
+    )
+    df.coalesce(1).write.option("orc.bloom.filter.columns", "k,s").option(
+        "orc.row.index.stride", "10000"
+    ).orc(d)
+    return sorted(_glob.glob(d + "/*.orc"))[0]
+
+
+@pytest.mark.spark
+def test_bloom_hashes_match_java_writer(jvm_bloom_orc):
+    """Zero false negatives probing Java-written blooms proves our
+    Thomas Wang (SIGNED shifts — bytecode-verified) and Murmur3 hash64
+    implementations match the Java writer bit-for-bit."""
+    r = OrcFileReader(jvm_bloom_orc)
+    bl = r.read_bloom_index(0)
+    k_col, s_col = 1, 2
+    for g in range(3):
+        lo = g * 10000
+        assert all(bl[k_col][g].test_long(v) for v in range(lo, lo + 10000, 37))
+        assert all(
+            bl[s_col][g].test_bytes(f"word{i}".encode()) for i in range(0, 997, 7)
+        )
+    # absent values overwhelmingly rejected (fpp 0.05)
+    fp = sum(bl[k_col][0].test_long(v) for v in range(10**6, 10**6 + 1000))
+    assert fp < 100
+    # and prune_row_groups drives the probe end-to-end on the Java file
+    assert r.prune_row_groups(0, "k", 25000, 25000) == [2]
+    assert r.prune_row_groups(0, "s", "wordXYZ", "wordXYZ") == []
+
+
+@pytest.mark.spark
+def test_our_blooms_roundtrip_and_prune(spark, tmp_path):
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    p = str(tmp_path / "b.orc")
+    n = 30000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array([f"word{i % 997}" for i in range(n)]),
+    })
+    write_orc(tbl, p, stripe_rows=30000, row_index_stride=1000,
+              bloom_columns=["k", "s"])
+    r = OrcFileReader(p)
+    assert r.prune_row_groups(0, "k", 5555, 5555) == [5]
+    # string stats can't prune (every group spans word0..word996
+    # lexically) but the bloom rejects an absent value outright
+    assert r.prune_row_groups(0, "s", "word_nope", "word_nope") == []
+    assert len(r.prune_row_groups(0, "s", "word123", "word123")) == 30
+    assert r.read_all().num_rows == n  # data region untouched by blooms
+    # JVM consumes our blooms during pushdown without row loss
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    df = spark.read.orc(p)
+    assert df.filter("k = 5555").count() == 1
+    assert df.filter("s = 'word123'").count() == len([i for i in range(n) if i % 997 == 123])
+    assert df.filter("s = 'word_nope'").count() == 0
+
+
+def test_bloom_type_dispatch():
+    from orc_rs_spark.kernels.orc_bloom import OrcBloom
+    from orc_rs_spark.orcfile.reader import _bloom_test
+
+    bf = OrcBloom(640, 3)
+    bf.add_longs(np.array([42, -7], dtype=np.int64))
+    bf.add_bytes_many([b"hello"])
+    assert _bloom_test(bf, 42) and _bloom_test(bf, -7)
+    assert _bloom_test(bf, "hello") and _bloom_test(bf, b"hello")
+    assert not _bloom_test(bf, 4343)
+    assert not _bloom_test(bf, "absent-string")
+    assert _bloom_test(bf, True)  # booleans never prune
