@@ -22,7 +22,7 @@ decoder doc-comments (e.g. /root/reference/src/encoding/rlev2.rs:12-58) were
 used to confirm behavior, never copied.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):  # lazy: importing the package must not start Spark
@@ -38,6 +38,10 @@ def __getattr__(name):  # lazy: importing the package must not start Spark
         "write_orc_dir": ("orc_rs_spark.orcfile.spark_source", "write_orc_dir"),
         "write_orc": ("orc_rs_spark.orcfile.writer", "write_orc"),
         "OrcFileReader": ("orc_rs_spark.orcfile.reader", "OrcFileReader"),
+        "OrcWriter": ("orc_rs_spark.orcfile.writer", "OrcWriter"),
+        "FileSource": ("orc_rs_spark.orcfile.reader", "FileSource"),
+        "MemorySource": ("orc_rs_spark.orcfile.reader", "MemorySource"),
+        "orc_schema_ddl": ("orc_rs_spark.orcfile.spark_source", "orc_schema_ddl"),
         "get_spark": ("orc_rs_spark.session", "get_spark"),
     }
     if name in _API:
