@@ -517,6 +517,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_ivf",
+    # with nprobe == n_clusters the inverted-file search probes every
+    # list, so the result is EXACTLY the cosine top-k — a loss-free gate
+    # check of the whole IVF pipeline (sampled k-means, one-scan cluster
+    # assignment, probe routing, in-list exact rerank). Production runs
+    # nprobe << n_clusters; that recall tradeoff is pytest-measured.
+    """
+    SELECT e.vec_id AS vec_id FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+    WHERE e.vec_id != 0
+    ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rs_spark.textops.similarity import ann_topk_ivf
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir),
+        k=10, n_clusters=8, nprobe=8,
+    )
+
+
+@register(
     "text_stats",
     """
     SELECT doc_id,

@@ -128,6 +128,54 @@ def streaming_dedup(
     return writer.start()
 
 
+def stream_windowed_rates(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+    available_now: bool = True,
+):
+    """Event-time windowed ingest rates with late-data tolerance: count
+    documents and sum tokens per (source, event-time window), accepting
+    records up to ``watermark`` late. Append mode — a window emits exactly
+    once, when the watermark passes its end, so downstream consumers see
+    final per-window totals (the canonical Structured Streaming windowed
+    aggregate; state is bounded by watermark eviction, unlike the exact
+    streaming dedup whose state is unbounded by problem definition).
+
+    Scale posture: one shuffle per micro-batch on (source, window) — the
+    same keys the state store is partitioned by; watermark eviction keeps
+    state proportional to (sources x open windows), independent of stream
+    length."""
+    from pyspark.sql import functions as F
+
+    schema = "doc_id string, n_tok int, source string, event_time timestamp"
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "source",
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def encode_stream_orc(
     spark: SparkSession,
     input_dir: str,

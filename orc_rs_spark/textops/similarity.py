@@ -119,6 +119,95 @@ def default_bits(n: int) -> int:
     return max(2, min(16, int(np.log2(max(2, n / 64)))))
 
 
+def ivf_centroids(
+    embeddings: DataFrame, n_clusters: int = 16, dim: int = 64, seed: int = 42,
+    sample_ids: int = 4096, iters: int = 10,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means over a BOUNDED deterministic sample
+    (vec_id < sample_ids — no full-corpus collect, no nondeterministic
+    limit()), run driver-side in NumPy. Returns L2-normalized centroids
+    (n_clusters, dim). At 100 TB the sample filter is a pushed parquet
+    predicate; the k-means itself touches only sample_ids rows."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < sample_ids)
+        .select("embedding").toArrow().column("embedding")
+    )
+    flat = rows.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    x = flat.reshape(-1, dim).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine == dot on unit vectors
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray, dim: int = 64) -> DataFrame:
+    """One scan assigning every vector to its nearest centroid (batch
+    matmul inside mapInArrow; centroids ride the closure — a few KB)."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = b.column("embedding").flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(b.num_rows, dim).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = np.inf
+            cluster = np.argmax((mat / norms[:, None]) @ cent.T, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(cluster.astype(np.int32))],
+                names=["vec_id", "cluster"],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        assign, "vec_id bigint, cluster int"
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` centroids nearest the query, exact
+    cosine top-k within the probed inverted lists — the classic
+    coarse-quantizer scale path (scan shrinks to ~nprobe/n_clusters of the
+    corpus; with a persisted ``assignments`` table partitioned by cluster,
+    the probe is a partition-pruned read, no signature recompute).
+    ``nprobe == n_clusters`` degenerates to exact search — that setting is
+    what the driver oracle checks (plumbing + distance math, loss-free by
+    construction); recall at nprobe < n_clusters is pytest-measured."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_clusters=n_clusters, dim=dim, seed=seed)
+    if assignments is None:
+        assignments = ivf_assign(embeddings, centroids, dim=dim)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    order = np.argsort(-(centroids @ q))[: max(1, nprobe)]
+    probes = [int(c) for c in order]
+    cand = assignments.where(F.col("cluster").isin(probes)).select("vec_id")
+    sub = embeddings.join(F.broadcast(cand), "vec_id")
+    return cosine_topk(sub, query_vec, k)
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

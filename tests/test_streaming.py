@@ -98,3 +98,61 @@ def test_streaming_orc_sink(spark, tmp_path):
     assert ours.count() == 400
     native = spark.read.orc(sorted(files))
     assert native.count() == 400
+
+
+@pytest.mark.spark
+def test_streaming_windowed_rates_with_watermark(spark, tmp_path):
+    """Event-time windows finalize (append-mode emit) once the watermark
+    passes; late-but-within-watermark rows still count."""
+    import pandas as pd
+
+    from orc_rs_spark.streaming import stream_windowed_rates
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    os.makedirs(inp, exist_ok=True)
+
+    def write_file(name, rows):
+        from pyspark.sql import functions as F
+
+        pdf = pd.DataFrame(rows, columns=["doc_id", "n_tok", "source", "event_time"])
+        pdf["event_time"] = pd.to_datetime(pdf["event_time"])
+        spark.createDataFrame(pdf).withColumn(
+            "n_tok", F.col("n_tok").cast("int")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{inp}/{name}")
+
+    # batch 1: two 10-min windows' worth of events
+    write_file("f1", [
+        ("d1", 10, "web", "2026-01-01 00:01:00"),
+        ("d2", 20, "web", "2026-01-01 00:05:00"),
+        ("d3", 5, "books", "2026-01-01 00:02:00"),
+        ("d4", 7, "web", "2026-01-01 00:12:00"),
+    ])
+    q = stream_windowed_rates(spark, f"{inp}/*", out, cp,
+                              window="10 minutes", watermark="5 minutes")
+    q.awaitTermination(120)
+
+    # batch 2: a late row INSIDE the watermark for window [00:10,00:20) and
+    # events far ahead that push the watermark past both early windows
+    write_file("f2", [
+        ("d5", 11, "web", "2026-01-01 00:13:00"),
+        ("d6", 1, "web", "2026-01-01 01:00:00"),
+    ])
+    q2 = stream_windowed_rates(spark, f"{inp}/*", out, cp,
+                               window="10 minutes", watermark="5 minutes")
+    q2.awaitTermination(120)
+    # one more drain so the watermark from batch 2 finalizes its windows
+    write_file("f3", [("d7", 2, "web", "2026-01-01 02:00:00")])
+    q3 = stream_windowed_rates(spark, f"{inp}/*", out, cp,
+                               window="10 minutes", watermark="5 minutes")
+    q3.awaitTermination(120)
+
+    got = {
+        (r.window_start.strftime("%H:%M"), r.source): (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("00:00", "web")] == (2, 30)
+    assert got[("00:00", "books")] == (1, 5)
+    # the late d5 made it into the 00:10 window before it finalized
+    assert got[("00:10", "web")] == (2, 18)

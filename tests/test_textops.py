@@ -277,3 +277,51 @@ def test_unpack_vec_block_arrow_native():
     assert ids.tolist() == [3, 9] and mat.tolist() == [[1.0, 2.0], [0.5, -1.0]]
     ids2, mat2 = _unpack_vec_block(col, 1)
     assert ids2.tolist() == [4] and mat2.tolist() == [[7.0, 8.0]]
+
+
+@pytest.mark.spark
+def test_ann_ivf_pipeline_and_recall(spark):
+    """IVF: nprobe == n_clusters is loss-free (equals exact top-k);
+    nprobe < n_clusters keeps high recall on clustered data while
+    scanning only the probed lists."""
+    from orc_rs_spark.textops.similarity import (
+        ann_topk_ivf,
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(9)
+    # clustered corpus: 8 centers, 40 points each
+    centers = rng.standard_normal((8, 64)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((40, 64)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    q = [float(x) for x in vecs[17]]
+    exact = [r["vec_id"] for r in
+             cosine_topk(emb.where(F.col("vec_id") != 17), q, k=10).collect()]
+
+    # all-probe == exact (what the driver oracle relies on)
+    allp = [
+        r["vec_id"] for r in ann_topk_ivf(
+            emb.where(F.col("vec_id") != 17), q, k=10, n_clusters=8, nprobe=8
+        ).collect()
+    ]
+    assert allp == exact
+
+    # pruned probe: reuse the built index (the production shape), check
+    # recall and that the scanned candidate set actually shrank
+    cents = ivf_centroids(emb, n_clusters=8, sample_ids=1 << 30)
+    assigns = ivf_assign(emb, cents).cache()
+    pruned = [r["vec_id"] for r in ann_topk_ivf(
+        emb.where(F.col("vec_id") != 17), q, k=10, n_clusters=8, nprobe=2,
+        centroids=cents, assignments=assigns,
+    ).collect()]
+    recall = len(set(pruned) & set(exact)) / len(exact)
+    assert recall >= 0.9, (recall, pruned, exact)
+    sizes = assigns.groupBy("cluster").count().collect()
+    assert len(sizes) >= 6  # k-means actually spread the corpus
+    assigns.unpersist()
