@@ -171,8 +171,21 @@ def read_orc(
     if not files:
         raise ValueError("read_orc: no ORC files found")
     work: list[tuple[str, int]] = []
+    schema_sig = None
     for f in files:
         tail = read_tail(f)
+        # one scan = one schema: a mixed-schema directory must fail HERE
+        # with file names, not mid-task with an opaque Arrow type error
+        sig = tuple(
+            (t.kind, tuple(t.subtypes), tuple(t.field_names), t.precision, t.scale)
+            for t in tail.footer.types
+        )
+        if schema_sig is None:
+            schema_sig, sig_file = sig, f
+        elif sig != schema_sig:
+            raise ValueError(
+                f"ORC schema mismatch in one scan: {f} differs from {sig_file}"
+            )
         if predicate is not None:
             from orc_rs_spark.orcfile.reader import prune_stripes
 

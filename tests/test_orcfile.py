@@ -1054,3 +1054,18 @@ def test_bloom_type_dispatch():
     assert not _bloom_test(bf, 4343)
     assert not _bloom_test(bf, "absent-string")
     assert _bloom_test(bf, True)  # booleans never prune
+
+
+@pytest.mark.spark
+def test_read_orc_rejects_mixed_schemas(spark, tmp_path):
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.spark_source import read_orc
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    write_orc(pa.table({"a": pa.array([1, 2], type=pa.int64())}),
+              str(tmp_path / "x1.orc"))
+    write_orc(pa.table({"a": pa.array(["s"], type=pa.string())}),
+              str(tmp_path / "x2.orc"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        read_orc(spark, [str(tmp_path / "x1.orc"), str(tmp_path / "x2.orc")])
