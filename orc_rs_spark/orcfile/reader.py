@@ -292,16 +292,13 @@ class _StripeColumnReader:
     """Decodes one stripe: streams are sliced by walking the stripe footer's
     stream list in order (index region first, then data region)."""
 
-    def __init__(self, raw: bytes, stripe: proto.StripeInformation,
+    def __init__(self, streams: dict[tuple[int, str], bytes],
+                 stripe: proto.StripeInformation,
                  sfooter: proto.StripeFooter, types: list[proto.OrcType], codec: str):
         self.types = types
         self.codec = codec
         self.encodings = sfooter.columns
-        self.streams: dict[tuple[int, str], bytes] = {}
-        pos = 0
-        for s in sfooter.streams:
-            self.streams[(s.column, s.kind)] = raw[pos : pos + s.length]
-            pos += s.length
+        self.streams = streams
         self.n_rows = stripe.number_of_rows
         self._dicts: dict[int, pa.Array] = {}
         self._row_index: dict[int, list] | None = None
@@ -678,20 +675,61 @@ class OrcFileReader:
         self.tail = read_tail(self.source)
         self.codec = self.tail.postscript.compression
 
-    def _open_stripe(self, i: int):
+    def _column_subtree(self, col: int, out: set[int]) -> None:
+        out.add(col)
+        for sub in self.tail.footer.types[col].subtypes:
+            self._column_subtree(sub, out)
+
+    def _open_stripe(self, i: int, columns: list[str] | None = None):
+        """Open one stripe, reading ONLY the selected columns' stream byte
+        ranges (coalesced) — column pruning at the I/O level, the byte-range
+        analogue of the reference's per-stream range readers
+        (src/compression.rs:39-56, src/io_utils.rs:237-281). A full-schema
+        read stays one contiguous range."""
         stripe = self.tail.footer.stripes[i]
-        raw = self.source.read_at(
-            stripe.offset,
-            stripe.index_length + stripe.data_length + stripe.footer_length,
-        )
+        body_len = stripe.index_length + stripe.data_length
         sfooter = proto.StripeFooter.parse(
             orc_stream_decompress(
-                raw[stripe.index_length + stripe.data_length :], self.codec
+                self.source.read_at(stripe.offset + body_len, stripe.footer_length),
+                self.codec,
             )
         )
-        body = raw[: stripe.index_length + stripe.data_length]
+        # stream layout: (offset-in-stripe, length) in footer order
+        spans = []
+        pos = 0
+        for s in sfooter.streams:
+            spans.append((s, pos, s.length))
+            pos += s.length
+        if columns is None:
+            raw = self.source.read_at(stripe.offset, body_len)
+            streams = {
+                (s.column, s.kind): raw[off : off + ln] for s, off, ln in spans
+            }
+        else:
+            _names, subs = self._select(columns)
+            needed: set[int] = set()
+            for sub in subs:
+                self._column_subtree(sub, needed)
+            picked = [(s, off, ln) for s, off, ln in spans if s.column in needed]
+            # coalesce ranges closer than 64 KiB: fewer, larger reads
+            ranges: list[list[int]] = []
+            for _s, off, ln in sorted(picked, key=lambda t: t[1]):
+                if ranges and off - (ranges[-1][0] + ranges[-1][1]) <= 64 * 1024:
+                    ranges[-1][1] = off + ln - ranges[-1][0]
+                else:
+                    ranges.append([off, ln])
+            blobs = {
+                (lo, ln): self.source.read_at(stripe.offset + lo, ln)
+                for lo, ln in ranges
+            }
+            streams = {}
+            for s, off, ln in picked:
+                for (lo, rln), blob in blobs.items():
+                    if lo <= off and off + ln <= lo + rln:
+                        streams[(s.column, s.kind)] = blob[off - lo : off - lo + ln]
+                        break
         return (
-            _StripeColumnReader(body, stripe, sfooter, self.tail.footer.types, self.codec),
+            _StripeColumnReader(streams, stripe, sfooter, self.tail.footer.types, self.codec),
             stripe,
         )
 
@@ -752,7 +790,7 @@ class OrcFileReader:
         restricts decode to those row-index groups — positional decode when
         the file carries a usable ROW_INDEX, full-decode-and-slice fallback
         otherwise (same rows either way)."""
-        reader, stripe = self._open_stripe(i)
+        reader, stripe = self._open_stripe(i, columns)
         names, subs = self._select(columns)
         n_rows = stripe.number_of_rows
         if row_groups is None:
@@ -789,7 +827,7 @@ class OrcFileReader:
         at row-group granularity). With a row index, memory is bounded by
         the covering row groups; without one the stripe decodes whole and
         is sliced (correct, not bounded — flagged so callers know)."""
-        reader, stripe = self._open_stripe(i)
+        reader, stripe = self._open_stripe(i, columns)
         names, subs = self._select(columns)
         stride = self.tail.footer.row_index_stride
         n_rows = stripe.number_of_rows

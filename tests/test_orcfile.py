@@ -1069,3 +1069,32 @@ def test_read_orc_rejects_mixed_schemas(spark, tmp_path):
               str(tmp_path / "x2.orc"))
     with pytest.raises(ValueError, match="schema mismatch"):
         read_orc(spark, [str(tmp_path / "x1.orc"), str(tmp_path / "x2.orc")])
+
+
+def test_column_projection_prunes_io(indexed_orc):
+    """Selecting 1 of 6 columns must READ (not just decode) far fewer
+    bytes: stream ranges of unselected columns are never fetched."""
+    import os
+
+    class CountingSource:
+        def __init__(self, path):
+            self.path = path
+            self.bytes_read = 0
+
+        def size(self):
+            return os.path.getsize(self.path)
+
+        def read_at(self, offset, length):
+            self.bytes_read += length
+            with open(self.path, "rb") as f:
+                f.seek(offset)
+                return f.read(length)
+
+    full_src = CountingSource(indexed_orc)
+    OrcFileReader(full_src).read_stripe(0)
+    one_src = CountingSource(indexed_orc)
+    batch = OrcFileReader(one_src).read_stripe(0, columns=["k"])
+    assert batch.num_rows == 20000 and batch.column_names == ["k"]
+    assert one_src.bytes_read < full_src.bytes_read / 2, (
+        one_src.bytes_read, full_src.bytes_read
+    )
