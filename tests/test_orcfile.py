@@ -1098,3 +1098,51 @@ def test_column_projection_prunes_io(indexed_orc):
     assert one_src.bytes_read < full_src.bytes_read / 2, (
         one_src.bytes_read, full_src.bytes_read
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_row_group_decode_fuzz(seed, tmp_path):
+    """Randomized schema/content fuzz: positional group decode must equal
+    full-decode slices for every random group selection, across nulls,
+    dictionaries, floats, lists and strings."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3000, 12000))
+    stride = int(rng.choice([512, 1000, 1777]))
+
+    def maybe_null(values, p):
+        return [None if rng.random() < p else v for v in values]
+
+    tbl = pa.table({
+        "i": pa.array(maybe_null(rng.integers(-2**40, 2**40, n).tolist(), 0.1),
+                      type=pa.int64()),
+        "sm": pa.array(maybe_null(rng.integers(0, 7, n).tolist(), 0.0),
+                       type=pa.int16()),
+        "f": pa.array(maybe_null(rng.standard_normal(n).tolist(), 0.2),
+                      type=pa.float64()),
+        "s": pa.array(maybe_null([f"v{int(x)}" for x in rng.zipf(1.5, n)], 0.15)),
+        "b": pa.array(maybe_null((rng.random(n) < 0.5).tolist(), 0.05)),
+        "lst": pa.array([rng.integers(0, 100, int(rng.integers(0, 6))).tolist()
+                         for _ in range(n)], type=pa.list_(pa.int32())),
+    })
+    p = str(tmp_path / f"fuzz{seed}.orc")
+    write_orc(tbl, p, stripe_rows=n, row_index_stride=stride,
+              compression=str(rng.choice(["zlib", "none"])))
+    r = OrcFileReader(p)
+    full = pa.Table.from_batches([r.read_stripe(0)])
+    n_groups = -(-n // stride)
+    for _ in range(4):
+        k = int(rng.integers(1, n_groups + 1))
+        sel = sorted(rng.choice(n_groups, size=k, replace=False).tolist())
+        got = r.read_stripe(0, row_groups=sel)
+        from orc_rs_spark.orcfile.reader import _runs
+
+        parts = [full.slice(g0 * stride, min(gl * stride, n - g0 * stride))
+                 for g0, gl in _runs(sel)]
+        exp = pa.concat_tables(parts)
+        assert got.num_rows == exp.num_rows
+        for c in tbl.column_names:
+            assert got.column(c).to_pylist() == exp.column(c).to_pylist(), (seed, sel, c)
