@@ -142,7 +142,7 @@ def read_orc(
     spark: SparkSession,
     path: str | list[str],
     ddl: str | None = None,
-    predicate: tuple | None = None,
+    predicate: tuple | list[tuple] | None = None,
     columns: list[str] | None = None,
     batch_rows: int = 65536,
 ) -> DataFrame:
@@ -151,13 +151,15 @@ def read_orc(
     ``path`` may be a single file, a directory of part files, or a list of
     files — all stripes across all files form ONE scan. The driver reads
     only file tails (schema comes from the footer type tree, never from
-    data). ``predicate=(column, lo, hi)`` prunes at TWO granularities: the
-    driver drops whole stripes through each file's Metadata statistics,
-    then each task drops 10k-row groups inside surviving stripes through
-    the ROW_INDEX min/max — the index the reference parses but never uses
-    (src/stripe.rs:171). Decode streams out in ≤ batch_rows Arrow batches
-    (bounded task memory, whatever the stripe size). The predicate still
-    needs re-applying row-level by the caller (stats keep the superset)."""
+    data). ``predicate`` is ``(column, lo, hi)`` or a LIST of such tuples
+    (a conjunction); it prunes at TWO granularities: the driver drops
+    whole stripes through each file's Metadata statistics, then each task
+    drops 10k-row groups inside surviving stripes through the ROW_INDEX
+    min/max — plus bloom probes for point ranges — the index the
+    reference parses but never uses (src/stripe.rs:171). Decode streams
+    out in ≤ batch_rows Arrow batches (bounded task memory, whatever the
+    stripe size). The predicate still needs re-applying row-level by the
+    caller (stats keep the superset)."""
     import glob as _glob
     import os
 
@@ -170,6 +172,9 @@ def read_orc(
         files = list(path)
     if not files:
         raise ValueError("read_orc: no ORC files found")
+    predicates: list[tuple] | None = None
+    if predicate is not None:
+        predicates = [predicate] if isinstance(predicate, tuple) else list(predicate)
     work: list[tuple[str, int]] = []
     schema_sig = None
     for f in files:
@@ -186,14 +191,13 @@ def read_orc(
             raise ValueError(
                 f"ORC schema mismatch in one scan: {f} differs from {sig_file}"
             )
-        if predicate is not None:
+        keep = set(range(len(tail.footer.stripes)))
+        if predicates:
             from orc_rs_spark.orcfile.reader import prune_stripes
 
-            col, lo, hi = predicate
-            keep = prune_stripes(f, col, lo, hi, tail)
-        else:
-            keep = list(range(len(tail.footer.stripes)))
-        work.extend((f, i) for i in keep)
+            for col, lo, hi in predicates:
+                keep &= set(prune_stripes(f, col, lo, hi, tail))
+        work.extend((f, i) for i in sorted(keep))
     if ddl is None:
         tail0 = read_tail(files[0])
         root = tail0.footer.types[0]
@@ -216,9 +220,11 @@ def read_orc(
                     readers[f] = OrcFileReader(f)
                 r = readers[f]
                 groups = None
-                if predicate is not None:
-                    col, lo, hi = predicate
-                    groups = r.prune_row_groups(int(i), col, lo, hi)
+                if predicates:
+                    for col, lo, hi in predicates:
+                        g = r.prune_row_groups(int(i), col, lo, hi)
+                        if g is not None:
+                            groups = g if groups is None else sorted(set(groups) & set(g))
                     if groups == []:
                         continue  # every row group proven out of range
                 for batch in r.read_stripe_batches(

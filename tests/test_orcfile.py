@@ -1146,3 +1146,30 @@ def test_row_group_decode_fuzz(seed, tmp_path):
         assert got.num_rows == exp.num_rows
         for c in tbl.column_names:
             assert got.column(c).to_pylist() == exp.column(c).to_pylist(), (seed, sel, c)
+
+
+@pytest.mark.spark
+def test_read_orc_conjunctive_predicates(spark, tmp_path):
+    """A predicate LIST prunes with AND semantics at both tiers: the
+    group set is the intersection of each predicate's surviving groups."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.spark_source import read_orc
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    n = 40000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "r": pa.array(np.arange(n, dtype=np.int64)[::-1]),  # reversed: opposite order
+    })
+    p = str(tmp_path / "conj.orc")
+    write_orc(tbl, p, stripe_rows=40000, row_index_stride=1000)
+    # k in [5000,6000) selects groups 5-6; r in [5000,6000) selects 33-35;
+    # conjunction is empty -> zero rows decoded, zero scanned
+    both = read_orc(spark, p, predicate=[("k", 5000, 5999), ("r", 5000, 5999)])
+    assert both.count() == 0
+    # overlapping conjunction: k in [10000,11000) AND r >= 28000 (same rows)
+    df = read_orc(spark, p, predicate=[("k", 10000, 10999), ("r", 29000, 29999)])
+    rows = df.filter("k between 10000 and 10999 and r between 29000 and 29999")
+    assert rows.count() == 1000
+    assert df.count() <= 2000  # only the covering groups decode
