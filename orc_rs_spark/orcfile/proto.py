@@ -181,6 +181,10 @@ class ColumnStatistics:
     string_sum: int | None = None
     binary_sum: int | None = None
     true_count: int | None = None
+    date_min: int | None = None  # days since epoch
+    date_max: int | None = None
+    ts_min: int | None = None  # UTC milliseconds since epoch
+    ts_max: int | None = None
 
     @classmethod
     def parse(cls, buf) -> "ColumnStatistics":
@@ -210,9 +214,19 @@ class ColumnStatistics:
             g = decode_fields(f[5][-1])
             counts = _packed_varints(g, 1)
             st.true_count = counts[0] if counts else None
+        if 7 in f:  # DateStatistics (sint32 days)
+            g = decode_fields(f[7][-1])
+            st.date_min = _zigzag(_one(g, 1)) if 1 in g else None
+            st.date_max = _zigzag(_one(g, 2)) if 2 in g else None
         if 8 in f:  # BinaryStatistics
             g = decode_fields(f[8][-1])
             st.binary_sum = _zigzag(_one(g, 1)) if 1 in g else None
+        if 9 in f:  # TimestampStatistics (sint64 millis; prefer the UTC pair)
+            g = decode_fields(f[9][-1])
+            lo = _one(g, 3, _one(g, 1))
+            hi = _one(g, 4, _one(g, 2))
+            st.ts_min = _zigzag(lo) if lo is not None else None
+            st.ts_max = _zigzag(hi) if hi is not None else None
         return st
 
 

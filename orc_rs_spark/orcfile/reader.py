@@ -211,12 +211,38 @@ def read_stripe_statistics(path, tail: OrcTail | None = None) -> list[list[proto
 
 def _stats_overlap(st: proto.ColumnStatistics, lo, hi) -> bool:
     """True when the stats' [min, max] MAY intersect [lo, hi] (missing
-    stats always overlap — pruning must only skip proven-empty ranges)."""
-    smin = st.int_min
-    smax = st.int_max
-    if smin is None and st.double_min is not None:
+    stats always overlap — pruning must only skip proven-empty ranges).
+    Date bounds compare in epoch days, timestamps in UTC millis; python
+    date/datetime predicate values are converted accordingly."""
+    import datetime as _dt
+
+    if st.int_min is not None:
+        smin, smax = st.int_min, st.int_max
+    elif st.double_min is not None:
         smin, smax = st.double_min, st.double_max
-    if smin is None:
+    elif st.ts_min is not None:
+        smin, smax = st.ts_min, st.ts_max
+
+        def _ms(v):
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                return int(v.timestamp() * 1000)
+            return v
+
+        lo, hi = _ms(lo), _ms(hi)
+    elif st.date_min is not None:
+        smin, smax = st.date_min, st.date_max
+
+        def _days(v):
+            if isinstance(v, _dt.datetime):
+                v = v.date()
+            if isinstance(v, _dt.date):
+                return (v - _dt.date(1970, 1, 1)).days
+            return v
+
+        lo, hi = _days(lo), _days(hi)
+    else:
         smin, smax = st.string_min, st.string_max
     if smin is None or smax is None:
         return True

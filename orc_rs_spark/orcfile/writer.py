@@ -74,7 +74,8 @@ _STR_STAT_KINDS = ("string", "varchar", "char")
 
 def _stats_body(n_values: int, has_null: bool, kind: str | None = None,
                 mn=None, mx=None) -> bytes:
-    """ColumnStatistics protobuf body (counts + typed min/max when given)."""
+    """ColumnStatistics protobuf body (counts + typed min/max when given).
+    Date bounds arrive as epoch days, timestamp bounds as UTC millis."""
     body = _field_varint(1, int(n_values))
     if mn is not None and mx is not None:
         if kind in _INT_STAT_KINDS:
@@ -84,6 +85,12 @@ def _stats_body(n_values: int, has_null: bool, kind: str | None = None,
                 body += _field_bytes(3, _field_double(1, float(mn)) + _field_double(2, float(mx)))
         elif kind in _STR_STAT_KINDS:
             body += _field_bytes(4, _field_bytes(1, str(mn).encode()) + _field_bytes(2, str(mx).encode()))
+        elif kind == "date":
+            body += _field_bytes(7, _field_sint(1, int(mn)) + _field_sint(2, int(mx)))
+        elif kind in ("timestamp", "timestamp_instant"):
+            pair = (_field_sint(1, int(mn)) + _field_sint(2, int(mx))
+                    + _field_sint(3, int(mn)) + _field_sint(4, int(mx)))
+            body += _field_bytes(9, pair)
     body += _field_varint(10, 1 if has_null else 0)
     return body
 
@@ -632,16 +639,35 @@ class OrcWriter:
         group_mm: dict[int, list[tuple]] = {}
         for i, sub in enumerate(types[0]["subtypes"]):
             kind = types[sub]["kind"]
-            if kind not in _INT_STAT_KINDS + _STR_STAT_KINDS + ("float", "double"):
+            if kind not in _INT_STAT_KINDS + _STR_STAT_KINDS + (
+                "float", "double", "date", "timestamp", "timestamp_instant"
+            ):
                 continue
+            col_arr = tbl.column(i)
+            if isinstance(col_arr, pa.ChunkedArray):
+                col_arr = col_arr.combine_chunks()
+            # dates/timestamps min/max over their integer views (epoch days
+            # / ns) so stats carry exact wire-domain bounds
+            ts_unit_ns = False
+            if kind == "date":
+                col_arr = col_arr.cast(pa.int32())
+            elif kind in ("timestamp", "timestamp_instant"):
+                col_arr = col_arr.cast(pa.timestamp("ns")).cast(pa.int64())
+                ts_unit_ns = True
             mm_list = []
             for (s, ln) in groups:
-                sl = tbl.column(i).slice(s, ln)
+                sl = col_arr.slice(s, ln)
                 if sl.null_count == len(sl):
                     mm_list.append((None, None))
                 else:
                     mm = pc.min_max(sl)
-                    mm_list.append((mm["min"].as_py(), mm["max"].as_py()))
+                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                    if ts_unit_ns:
+                        # ns -> millis, widened outward (floor min, ceil
+                        # max) so stats stay a superset of the data
+                        mn = mn // 1_000_000
+                        mx = -(-mx // 1_000_000)
+                    mm_list.append((mn, mx))
             group_mm[sub] = mm_list
 
         # ---- assemble data streams + positions

@@ -1173,3 +1173,39 @@ def test_read_orc_conjunctive_predicates(spark, tmp_path):
     rows = df.filter("k between 10000 and 10999 and r between 29000 and 29999")
     assert rows.count() == 1000
     assert df.count() <= 2000  # only the covering groups decode
+
+
+def test_date_timestamp_group_pruning(tmp_path):
+    """DateStatistics (epoch days) and TimestampStatistics (UTC millis)
+    round the stats matrix out: time-range scans prune row groups."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    n = 10000
+    base = dt.date(2026, 1, 1)
+    days = pa.array([base + dt.timedelta(days=i // 100) for i in range(n)],
+                    type=pa.date32())
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    ts = pa.array([t0 + dt.timedelta(minutes=i) for i in range(n)],
+                  type=pa.timestamp("us", tz="UTC"))
+    p = str(tmp_path / "dt.orc")
+    write_orc(pa.table({"d": days, "t": ts}), p,
+              stripe_rows=n, row_index_stride=1000)
+    r = OrcFileReader(p)
+    # rows with d == 2026-01-31 live at i in [3000, 3100) -> group 3 only
+    keep_d = r.prune_row_groups(0, "d", dt.date(2026, 1, 31), dt.date(2026, 1, 31))
+    assert keep_d == [3]
+    # timestamp range minutes [5500, 5600) -> group 5
+    lo = t0 + dt.timedelta(minutes=5500)
+    hi = t0 + dt.timedelta(minutes=5599)
+    keep_t = r.prune_row_groups(0, "t", lo, hi)
+    assert keep_t == [5]
+    # far-future range prunes everything
+    assert r.prune_row_groups(0, "t", t0 + dt.timedelta(days=900),
+                              t0 + dt.timedelta(days=901)) == []
+    # decoded values round-trip intact
+    got = r.read_stripe(0, row_groups=[3])
+    assert got.column("d")[0].as_py() == dt.date(2026, 1, 31)
