@@ -517,6 +517,36 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_time_range_pruned",
+    """
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+    """,
+)
+def q_orc_time_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range scan over wire ORC with TimestampStatistics pruning:
+    events sorted by ts so stripe + row-group bounds are tight; only the
+    groups covering the two-day window decode (plus boundary slack) and
+    the exact filter re-applies row-level — the canonical log-scan shape
+    at 100 TB."""
+    import datetime as dt
+
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    ev = _pq(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    ev = ev.withColumn("value", F.col("value").cast("double")).orderBy("ts")
+    out_dir = _scratch_dir("orc_time_range")
+    write_orc_dir(ev.coalesce(1), out_dir, compression="zlib", stripe_rows=8192,
+                  row_index_stride=512)
+    lo = dt.datetime(2024, 1, 10)
+    hi_excl = dt.datetime(2024, 1, 12)
+    scan = read_orc(spark, out_dir, predicate=("ts", lo, hi_excl))
+    return scan.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi_excl))
+    ).select("event_id", "user_id", "value")
+
+
+@register(
     "ann_topk_ivf",
     # with nprobe == n_clusters the inverted-file search probes every
     # list, so the result is EXACTLY the cosine top-k — a loss-free gate
