@@ -174,9 +174,15 @@ def bit_lengths(values: np.ndarray) -> np.ndarray:
     bits = f.view(np.uint64)
     bl = ((bits >> np.uint64(52)) & np.uint64(0x7FF)).astype(np.int64) - 1022
     bl[f == 0.0] = 0
-    # correction: conversion may round v up across a 2^k boundary
-    sh = np.clip(bl - 1, 0, 63).astype(np.uint64)
-    over = (v < (np.uint64(1) << sh)) & (bl >= 1)
+    # correction: conversion may round v up across a 2^k boundary.
+    # maximum+minimum instead of np.clip+astype: one fewer whole-array
+    # copy and no uint64 detour. (Alternating A/B runs show this is
+    # throughput-equivalent — this shared VM's 5-10x phase noise makes
+    # single-run "speedups" untrustworthy, so no speed claim is made.)
+    sh = np.minimum(np.maximum(bl - 1, 0), 62)  # 1<<63 would wrap in int64
+    # bl==64 with s>=0 is always an over-round (a positive int64 has <=63
+    # bits); other boundaries compare against the true power of two
+    over = ((s < (np.int64(1) << sh)) | (bl >= 64)) & (bl >= 1) & (s >= 0)
     bl[over] -= 1
     bl[s < 0] = 64  # top bit set: exact, and the float path above was invalid
     return bl

@@ -42,7 +42,9 @@ _U64_ONE = np.uint64(1)
 
 def _as_unsigned(v: np.ndarray, signed: bool) -> np.ndarray:
     """Value space used by short-repeat/direct: zigzag if signed."""
-    return zigzag_encode(v) if signed else np.asarray(v, dtype=np.int64).astype(np.uint64)
+    if signed:
+        return zigzag_encode(v)
+    return np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
 
 
 def _from_unsigned(u: np.ndarray, signed: bool) -> np.ndarray:
@@ -349,7 +351,7 @@ def rlev2_encode(
         dec = np.add.reduceat(~dle, rstart) == 0
         first_d = d[np.minimum(starts, len(d) - 1)]
         # |delta| widths excluding each frame's first diff and boundary diffs
-        dmag_bls = bit_lengths(np.abs(d).astype(np.uint64))
+        dmag_bls = bit_lengths(np.abs(d).view(np.uint64))  # view: same bits, no copy
         dmag_bls[bpos] = 0
         dmag_bls[np.minimum(starts, len(d) - 1)] = 0
         delta_w = np.maximum.reduceat(dmag_bls, rstart)
@@ -360,13 +362,13 @@ def rlev2_encode(
         inc = dec = np.ones(k, dtype=bool)
         first_d = np.zeros(k, dtype=np.int64)
         delta_w = np.zeros(k, dtype=np.int64)
-    safe_range = (maxs.astype(np.uint64) - mins.astype(np.uint64)) < (
+    safe_range = (maxs.view(np.uint64) - mins.view(np.uint64)) < (
         np.uint64(1) << np.uint64(63)
     )
     mono = (inc | (dec & (first_d != 0))) & safe_range & ~const
     u_all = _as_unsigned(v, signed)
     zz_w = np.maximum.reduceat(bit_lengths(u_all), starts)
-    adj_all = v.astype(np.uint64) - np.repeat(mins, seg_lens).astype(np.uint64)
+    adj_all = v.view(np.uint64) - np.repeat(mins, seg_lens).view(np.uint64)
     abls = bit_lengths(adj_all)
     fw = np.maximum.reduceat(abls, starts)
     from orc_rs_spark.kernels.bitpack import DIRECT_WIDTH_TABLE

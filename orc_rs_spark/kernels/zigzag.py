@@ -11,8 +11,9 @@ import numpy as np
 
 def zigzag_encode(values: np.ndarray) -> np.ndarray:
     """Signed int64 array -> zigzagged uint64 array: (v << 1) ^ (v >> 63)."""
-    v = np.asarray(values, dtype=np.int64)
-    return ((v.astype(np.uint64) << np.uint64(1)) ^ (v >> np.int64(63)).astype(np.uint64))
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    # views, not astypes: reinterpreting the bits is free and exact here
+    return (v.view(np.uint64) << np.uint64(1)) ^ (v >> np.int64(63)).view(np.uint64)
 
 
 def zigzag_decode(values: np.ndarray) -> np.ndarray:
