@@ -1209,3 +1209,46 @@ def test_date_timestamp_group_pruning(tmp_path):
     # decoded values round-trip intact
     got = r.read_stripe(0, row_groups=[3])
     assert got.column("d")[0].as_py() == dt.date(2026, 1, 31)
+
+
+@pytest.mark.spark
+def test_jvm_filtered_read_nested_nullable_indexed(spark, tmp_path):
+    """The hardest position case: nested NULLABLE columns in an indexed
+    file — child PRESENT streams are continuous bit streams whose group
+    positions carry in-byte bit offsets; the JVM reader must seek them
+    correctly during filtered reads, and our positional decode must match
+    full-decode slices."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    n = 30000
+    lst = pa.array(
+        [[None if (i + j) % 7 == 0 else f"w{j}" for j in range(i % 4)] for i in range(n)],
+        type=pa.list_(pa.string()),
+    )
+    st = pa.array(
+        [{"a": None if i % 5 == 0 else i, "b": f"s{i % 3}"} for i in range(n)],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    tbl = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)), "lst": lst, "st": st})
+    p = str(tmp_path / "nested_idx.orc")
+    write_orc(tbl, p, stripe_rows=n, row_index_stride=1000)
+
+    r = OrcFileReader(p)
+    full = pa.Table.from_batches([r.read_stripe(0)])
+    got = r.read_stripe(0, row_groups=[13])
+    for c in tbl.column_names:
+        assert got.column(c).to_pylist() == full.slice(13000, 1000).column(c).to_pylist(), c
+
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    df = spark.read.orc(p)
+    assert df.count() == n
+    rows = df.filter("k >= 17500 AND k < 17510").orderBy("k").collect()
+    assert len(rows) == 10
+    for row in rows:
+        i = row.k
+        assert list(row.lst) == [None if (i + j) % 7 == 0 else f"w{j}" for j in range(i % 4)]
+        assert row.st.a == (None if i % 5 == 0 else i) and row.st.b == f"s{i % 3}"
+    agg = df.filter("k >= 25000").selectExpr("sum(size(lst))").collect()[0][0]
+    assert agg == sum(i % 4 for i in range(25000, n))
