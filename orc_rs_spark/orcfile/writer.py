@@ -499,6 +499,22 @@ class OrcWriter:
         self.max_buffered_rows = 0  # high-water mark, asserted in tests
         self._closed = False
 
+    def __enter__(self) -> "OrcWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+
+    def abort(self) -> None:
+        """Close the handle WITHOUT writing a footer (the file stays
+        unreadable-by-design after a failed write — no half-valid tails)."""
+        if not self._closed:
+            self._f.close()
+            self._closed = True
+
     def write_batch(self, batch: pa.RecordBatch) -> None:
         if batch.num_rows == 0:
             return

@@ -1252,3 +1252,27 @@ def test_jvm_filtered_read_nested_nullable_indexed(spark, tmp_path):
         assert row.st.a == (None if i % 5 == 0 else i) and row.st.b == f"s{i % 3}"
     agg = df.filter("k >= 25000").selectExpr("sum(size(lst))").collect()[0][0]
     assert agg == sum(i % 4 for i in range(25000, n))
+
+
+def test_orc_writer_context_manager(tmp_path):
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import OrcWriter
+
+    p = str(tmp_path / "cm.orc")
+    schema = pa.schema([("a", pa.int64())])
+    with OrcWriter(p, schema, stripe_rows=100) as w:
+        w.write_batch(pa.record_batch([pa.array(range(250), type=pa.int64())],
+                                      schema=schema))
+    assert OrcFileReader(p).read_all().num_rows == 250
+    # an exception mid-write aborts: no footer, file rejected cleanly
+    p2 = str(tmp_path / "aborted.orc")
+    try:
+        with OrcWriter(p2, schema) as w:
+            w.write_batch(pa.record_batch([pa.array([1], type=pa.int64())],
+                                          schema=schema))
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    with pytest.raises(ValueError):
+        read_tail(p2)
