@@ -118,6 +118,17 @@ def main() -> None:
     assert orc_rt_vals == n_values, "ORC wire round-trip lost values"
     orc_wire_bytes = dir_size(orc_dir)
 
+    # informational (NOT in the wall total, keeps totals comparable across
+    # rounds): the same wire data with two-tier predicate pruning — stripes
+    # via Metadata stats, 10k-row groups via ROW_INDEX min/max
+    probe_id = f"doc-{rows // 2:012d}"
+    t0 = time.time()
+    pruned = read_orc(spark, orc_dir, predicate=("doc_id", probe_id, probe_id),
+                      columns=["doc_id", "n_tok"])
+    pruned_rows = pruned.where(F.col("doc_id") == probe_id).count()
+    pruned_lookup_sec = time.time() - t0
+    assert pruned_rows == 1, "pruned lookup lost the row"
+
     total = sum(timings.values())
     result = {
         "metric": "bench_suite_wall",
@@ -140,6 +151,10 @@ def main() -> None:
         "orc_wire_write_tokens_per_sec": round(n_values / timings["q6_orc_wire_write"]),
         "orc_wire_read_tokens_per_sec": round(n_values / timings["q7_orc_wire_read"]),
         "orc_wire_bytes": orc_wire_bytes,
+        "orc_pruned_lookup_sec": round(pruned_lookup_sec, 3),
+        "orc_pruned_lookup_vs_full_read": round(
+            pruned_lookup_sec / timings["q7_orc_wire_read"], 3
+        ),
         "cpus": cpus,
     }
     spark.stop()
