@@ -13,13 +13,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from orc_rs_spark.orcfile.errors import OrcFormatError
+
 
 def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
     result = 0
     shift = 0
     while True:
         if pos >= len(buf):
-            raise ValueError("truncated varint")
+            raise OrcFormatError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -27,7 +29,7 @@ def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
             return result, pos
         shift += 7
         if shift > 70:
-            raise ValueError("varint too long")
+            raise OrcFormatError("varint too long")
 
 
 def _zigzag(u: int) -> int:
@@ -57,7 +59,7 @@ def decode_fields(buf: bytes | memoryview) -> dict[int, list]:
             val = int.from_bytes(mv[pos : pos + 4], "little")
             pos += 4
         else:
-            raise ValueError(f"unsupported wire type {wtype}")
+            raise OrcFormatError(f"unsupported wire type {wtype}")  # CorruptedProtobuf
         out.setdefault(fnum, []).append(val)
     return out
 

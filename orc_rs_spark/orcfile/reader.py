@@ -28,6 +28,12 @@ from orc_rs_spark.kernels.lzblocks import lz4_block_decompress, snappy_decompres
 from orc_rs_spark.kernels.rlev1 import rlev1_decode
 from orc_rs_spark.kernels.rlev2 import rlev2_decode
 from orc_rs_spark.orcfile import proto
+from orc_rs_spark.orcfile.errors import (  # noqa: F401
+    OrcBoundsError,
+    OrcError,
+    OrcFormatError,
+    OrcUnsupportedError,
+)
 
 TAIL_BUFFER_SIZE = 16 * 1024
 
@@ -90,7 +96,7 @@ def _inner_decompress(block: bytes, codec: str) -> bytes:
         from orc_rs_spark.kernels.zstd import zstd_decompress
 
         return zstd_decompress(block)
-    raise ValueError(f"no {codec} decoder available in this environment")
+    raise OrcUnsupportedError(f"no {codec} decoder available in this environment")
 
 
 class RowIndexUnsupported(Exception):
@@ -116,7 +122,7 @@ def decompress_from(data, codec: str, chunk_off: int, skip: int, min_bytes: int)
         length = header >> 1
         block = data[pos : pos + length]
         if len(block) != length:
-            raise ValueError("ORC compressed stream truncated")
+            raise OrcFormatError("ORC compressed stream truncated")
         piece = bytes(block) if header & 1 else _inner_decompress(bytes(block), codec)
         out.append(piece)
         got += len(piece)
@@ -138,7 +144,7 @@ def orc_stream_decompress(data: bytes, codec: str) -> bytes:
         length = header >> 1
         block = data[pos : pos + length]
         if len(block) != length:
-            raise ValueError("ORC compressed stream truncated")
+            raise OrcFormatError("ORC compressed stream truncated")
         out.append(bytes(block) if header & 1 else _inner_decompress(bytes(block), codec))
         pos += length
     return b"".join(out)
@@ -164,21 +170,21 @@ def read_tail(path) -> OrcTail:
     read_pos = max(0, file_len - TAIL_BUFFER_SIZE)
     buf = src.read_at(read_pos, file_len - read_pos)
     if not buf:
-        raise ValueError("empty ORC file")
+        raise OrcFormatError("empty ORC file")
     ps_len = buf[-1]
     ps = proto.PostScript.parse(buf[len(buf) - 1 - ps_len : len(buf) - 1])
     if ps.magic != "ORC":
-        raise ValueError(f"invalid postscript magic {ps.magic!r}")
+        raise OrcFormatError(f"invalid postscript magic {ps.magic!r}")
     tail_size = ps.footer_length + ps_len + 1
     if tail_size >= file_len:
-        raise ValueError(f"invalid tail size {tail_size} >= file size {file_len}")
+        raise OrcFormatError(f"invalid tail size {tail_size} >= file size {file_len}")
     if ps.footer_length <= len(buf) - 1 - ps_len:
         footer_comp = buf[len(buf) - 1 - ps_len - ps.footer_length : len(buf) - 1 - ps_len]
     else:
         footer_comp = src.read_at(file_len - tail_size, ps.footer_length)
     footer = proto.Footer.parse(orc_stream_decompress(footer_comp, ps.compression))
     if footer.encrypted:
-        raise ValueError(
+        raise OrcUnsupportedError(
             "encrypted ORC files are not supported (footer carries an "
             "Encryption section; reference rejects these too, "
             "src/tail.rs:86-88)"
@@ -684,7 +690,7 @@ class _StripeColumnReader:
             ]
             dense = pa.array(vals, type=pa.decimal128(max(prec, 1), scale))
             return _scatter(dense, present)
-        raise ValueError(f"unsupported ORC type {kind!r} (column {col})")
+        raise OrcUnsupportedError(f"unsupported ORC type {kind!r} (column {col})")
 
 
 class OrcFileReader:
@@ -824,11 +830,11 @@ class OrcFileReader:
             return pa.RecordBatch.from_arrays(arrays, names=names)
         stride = self.tail.footer.row_index_stride
         if stride <= 0:
-            raise ValueError("row_groups given but the file has no rowIndexStride")
+            raise OrcBoundsError("row_groups given but the file has no rowIndexStride")
         n_groups = -(-n_rows // stride)
         sel = sorted({int(g) for g in row_groups})
         if any(g < 0 or g >= n_groups for g in sel):
-            raise ValueError(f"row group out of range (stripe {i} has {n_groups})")
+            raise OrcBoundsError(f"row group out of range (stripe {i} has {n_groups})")
         if not sel:
             return self._empty_batch(names)
         try:

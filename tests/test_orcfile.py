@@ -1276,3 +1276,33 @@ def test_orc_writer_context_manager(tmp_path):
         pass
     with pytest.raises(ValueError):
         read_tail(p2)
+
+
+def test_typed_error_surface(tmp_path):
+    """The OrcError hierarchy mirrors the reference's enum
+    (src/lib.rs:25-66) and stays ValueError-compatible."""
+    from orc_rs_spark.orcfile import (
+        OrcBoundsError,
+        OrcError,
+        OrcFormatError,
+        OrcUnsupportedError,
+    )
+
+    p = tmp_path / "junk.orc"
+    p.write_bytes(b"definitely not orc bytes" * 10)
+    with pytest.raises(OrcFormatError):
+        read_tail(str(p))
+    with pytest.raises(ValueError):  # back-compat
+        read_tail(str(p))
+    assert issubclass(OrcUnsupportedError, OrcError)
+    assert issubclass(OrcBoundsError, IndexError)
+    # bounds: row_groups without a stride
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    q = str(tmp_path / "nostride.orc")
+    write_orc(pa.table({"a": pa.array([1, 2, 3], type=pa.int64())}), q,
+              row_index_stride=0)
+    with pytest.raises(OrcBoundsError):
+        OrcFileReader(q).read_stripe(0, row_groups=[0])
