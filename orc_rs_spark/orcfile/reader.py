@@ -859,9 +859,11 @@ class OrcFileReader:
         at row-group granularity). With a row index, memory is bounded by
         the covering row groups; without one the stripe decodes whole and
         is sliced (correct, not bounded — flagged so callers know)."""
+        stride = self.tail.footer.row_index_stride
+        if row_groups is not None and stride <= 0:
+            raise OrcBoundsError("row_groups given but the file has no rowIndexStride")
         reader, stripe = self._open_stripe(i, columns)
         names, subs = self._select(columns)
-        stride = self.tail.footer.row_index_stride
         n_rows = stripe.number_of_rows
         if stride > 0 and stripe.index_length > 0:
             n_groups = -(-n_rows // stride)

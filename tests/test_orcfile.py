@@ -1306,3 +1306,16 @@ def test_typed_error_surface(tmp_path):
               row_index_stride=0)
     with pytest.raises(OrcBoundsError):
         OrcFileReader(q).read_stripe(0, row_groups=[0])
+
+
+def test_read_stripe_batches_rejects_groups_without_stride(tmp_path):
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile import OrcBoundsError
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    p = str(tmp_path / "ns.orc")
+    write_orc(pa.table({"a": pa.array([1, 2, 3], type=pa.int64())}), p,
+              row_index_stride=0)
+    with pytest.raises(OrcBoundsError):
+        list(OrcFileReader(p).read_stripe_batches(0, row_groups=[0]))
