@@ -274,6 +274,29 @@ def _bloom_test(bloom, value) -> bool:
     return True  # unknown type: never prune on a guess
 
 
+def resolve_column_path(types: list, name: str) -> int | None:
+    """ORC column id for a possibly-nested path: top-level names, struct
+    fields by name, list elements as ``col.item`` (or ``.element``), map
+    sides as ``col.key`` / ``col.value``. None when the path doesn't
+    resolve — pruning then simply keeps everything."""
+    cur = types[0]
+    cid = 0
+    for part in name.split("."):
+        kind = cur.kind
+        if kind == "struct":
+            if part not in cur.field_names:
+                return None
+            cid = cur.subtypes[cur.field_names.index(part)]
+        elif kind == "list" and part in ("item", "element"):
+            cid = cur.subtypes[0]
+        elif kind == "map" and part in ("key", "value"):
+            cid = cur.subtypes[0 if part == "key" else 1]
+        else:
+            return None
+        cur = types[cid]
+    return cid
+
+
 def _runs(sorted_ids: list[int]) -> list[tuple[int, int]]:
     """Collapse a sorted id list into (start, length) consecutive runs."""
     runs: list[tuple[int, int]] = []
@@ -294,8 +317,9 @@ def prune_stripes(path: str, column: str, lo, hi, tail: OrcTail | None = None) -
     n = len(tail.footer.stripes)
     if not stats or len(stats) != n:
         return list(range(n))
-    root = tail.footer.types[0]
-    col_id = root.subtypes[root.field_names.index(column)]
+    col_id = resolve_column_path(tail.footer.types, column)
+    if col_id is None:
+        return list(range(n))
     keep = []
     for i, scols in enumerate(stats):
         if col_id >= len(scols) or _stats_overlap(scols[col_id], lo, hi):
@@ -949,10 +973,9 @@ class OrcFileReader:
             return None
         stripe = self.tail.footer.stripes[i]
         n_groups = -(-stripe.number_of_rows // stride)
-        root = self.tail.footer.types[0]
-        if column not in root.field_names:
+        col_id = resolve_column_path(self.tail.footer.types, column)
+        if col_id is None:
             return None
-        col_id = root.subtypes[root.field_names.index(column)]
         try:
             rows, blooms = self._read_index_region(i)
         except ValueError:

@@ -300,6 +300,10 @@ class _StripeWriter:
         self.streams: list[tuple[int, int, object]] = []  # (column, kind_enum, bytes|_Bits)
         self.encodings: dict[int, tuple[int, int]] = {}  # col -> (kind_enum, dict_size)
         self.stats: dict[int, tuple[int, bool]] = {}  # col -> (n_values, has_null)
+        # col -> (min, max) captured during encode (indexed mode): ints as
+        # ints, dates as epoch days, timestamps as UTC millis, strings as
+        # str — EVERY level of nesting, so list children prune too
+        self.minmax: dict[int, tuple] = {}
 
     def _emit(self, col: int, kind_enum: int, raw: bytes):
         data = block_compress(raw, self.codec) if self.codec != "none" else raw
@@ -368,10 +372,14 @@ class _StripeWriter:
                 v = dense.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
             else:
                 v = dense.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(v):
+                self.minmax[col] = (int(v.min()), int(v.max()))
             self._emit(col, 1, rlev2_encode(v, signed=True, strict_orc=True))
             return
         if kind in ("float", "double"):
             v = dense.to_numpy(zero_copy_only=False)
+            if len(v):
+                self.minmax[col] = (float(v.min()), float(v.max()))
             self._emit(col, 1, v.astype("<f4" if kind == "float" else "<f8").tobytes())
             return
         if kind in ("string", "varchar", "char", "binary"):
@@ -379,6 +387,9 @@ class _StripeWriter:
                 dense = dense.cast(pa.string())
             if pa.types.is_large_binary(dense.type):
                 dense = dense.cast(pa.binary())
+            if kind != "binary" and len(dense):
+                mm = pc.min_max(dense)
+                self.minmax[col] = (mm["min"].as_py(), mm["max"].as_py())
             sorted_dict = None
             if kind != "binary":
                 if self.forced_strings is not None:
@@ -426,6 +437,12 @@ class _StripeWriter:
             millis = np.floor_divide(ns, 1_000_000)
             secs_tz = np.where(millis >= 0, millis // 1000, -((-millis) // 1000))
             rel = secs_tz - TS_BASE_SECONDS
+            if len(ns):
+                # UTC millis, widened outward (floor min / ceil max) so the
+                # statistics stay a superset of the nanosecond data
+                self.minmax[col] = (
+                    int(ns.min()) // 1_000_000, -((-int(ns.max())) // 1_000_000)
+                )
             self._emit(col, 1, rlev2_encode(rel, signed=True, strict_orc=True))
             self._emit(col, 5, rlev2_encode(_format_nanos(nanos), signed=False, strict_orc=True))
             return
@@ -628,6 +645,10 @@ class OrcWriter:
         chunk_lists: dict[tuple[int, int], list] = {}
         order: list[tuple[int, int]] = []
         group_counts: dict[int, list[tuple[int, bool]]] = {}
+        # per-group (min, max) captured DURING encode for every column at
+        # every nesting level (int/date/ts/float/string leaves) — list
+        # children get real pruning statistics, not counts-only entries
+        group_mm: dict[int, list[tuple]] = {}
         encodings: dict[int, tuple[int, int]] = {}
         for g, (s, ln) in enumerate(groups):
             mw = _StripeWriter(types, "none", forced_strings=forced,
@@ -649,42 +670,8 @@ class OrcWriter:
                 chunk_lists[(c, k)].append(payload)
             for c in range(len(types)):
                 group_counts.setdefault(c, []).append(mw.stats[c])
-
-        # ---- per-group min/max for top-level scalar columns (the pruning
-        # statistics; nested leaves keep counts-only entries)
-        group_mm: dict[int, list[tuple]] = {}
-        for i, sub in enumerate(types[0]["subtypes"]):
-            kind = types[sub]["kind"]
-            if kind not in _INT_STAT_KINDS + _STR_STAT_KINDS + (
-                "float", "double", "date", "timestamp", "timestamp_instant"
-            ):
-                continue
-            col_arr = tbl.column(i)
-            if isinstance(col_arr, pa.ChunkedArray):
-                col_arr = col_arr.combine_chunks()
-            # dates/timestamps min/max over their integer views (epoch days
-            # / ns) so stats carry exact wire-domain bounds
-            ts_unit_ns = False
-            if kind == "date":
-                col_arr = col_arr.cast(pa.int32())
-            elif kind in ("timestamp", "timestamp_instant"):
-                col_arr = col_arr.cast(pa.timestamp("ns")).cast(pa.int64())
-                ts_unit_ns = True
-            mm_list = []
-            for (s, ln) in groups:
-                sl = col_arr.slice(s, ln)
-                if sl.null_count == len(sl):
-                    mm_list.append((None, None))
-                else:
-                    mm = pc.min_max(sl)
-                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
-                    if ts_unit_ns:
-                        # ns -> millis, widened outward (floor min, ceil
-                        # max) so stats stay a superset of the data
-                        mn = mn // 1_000_000
-                        mx = -(-mx // 1_000_000)
-                    mm_list.append((mn, mx))
-            group_mm[sub] = mm_list
+            for c, mm in mw.minmax.items():
+                group_mm.setdefault(c, [(None, None)] * len(groups))[g] = mm
 
         # ---- assemble data streams + positions
         stream_bytes: dict[tuple[int, int], bytes] = {}

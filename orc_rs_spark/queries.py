@@ -547,6 +547,37 @@ def q_orc_time_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_token_range_pruned",
+    """
+    SELECT t.doc_id AS doc_id, n_tok
+    FROM ("""
+    + TOKEN_TABLE_SQL
+    + """) t
+    WHERE len(list_filter(tokens, x -> x BETWEEN 777000 AND 777999)) > 0
+    """,
+)
+def q_orc_token_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-range search over WIRE ORC: the list child column
+    ``tokens.item`` now carries per-row-group min/max in the ROW_INDEX
+    (and per-stripe bounds in Metadata), so a value-range scan prunes
+    groups before decoding token bytes — the wire-format twin of the
+    chunk format's token search. Rows re-filtered with array_exists; the
+    oracle is the same range filter in SQL."""
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = token_table_from_events(spark, sf_dir)
+    out_dir = _scratch_dir("orc_token_range")
+    write_orc_dir(df.repartition(4), out_dir, compression="zlib",
+                  stripe_rows=8192, row_index_stride=1024)
+    lo, hi = 777000, 777999
+    scan = read_orc(spark, out_dir, predicate=("tokens.item", lo, hi),
+                    columns=["doc_id", "tokens", "n_tok"])
+    return scan.filter(
+        F.exists("tokens", lambda x: (x >= F.lit(lo)) & (x <= F.lit(hi)))
+    ).select("doc_id", "n_tok")
+
+
+@register(
     "ann_topk_ivf",
     # with nprobe == n_clusters the inverted-file search probes every
     # list, so the result is EXACTLY the cosine top-k — a loss-free gate

@@ -1319,3 +1319,30 @@ def test_read_stripe_batches_rejects_groups_without_stride(tmp_path):
               row_index_stride=0)
     with pytest.raises(OrcBoundsError):
         list(OrcFileReader(p).read_stripe_batches(0, row_groups=[0]))
+
+
+def test_nested_leaf_group_stats_prune_token_ranges(tmp_path):
+    """List-child min/max in the row index + Metadata: a token-range scan
+    prunes row groups AND stripes without touching token bytes."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.reader import prune_stripes, resolve_column_path
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    n = 20000
+    toks = pa.array([[i, i + 1, i + 2] for i in range(n)], type=pa.list_(pa.int32()))
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "tokens": toks})
+    p = str(tmp_path / "tok.orc")
+    write_orc(tbl, p, stripe_rows=5000, row_index_stride=1000)
+    r = OrcFileReader(p)
+    # dotted path resolves to the list child id
+    assert resolve_column_path(r.tail.footer.types, "tokens.item") is not None
+    assert resolve_column_path(r.tail.footer.types, "tokens.nope") is None
+    assert prune_stripes(p, "tokens.item", 12000, 12010) == [2]
+    keep = r.prune_row_groups(2, "tokens.item", 12000, 12010)
+    # stripe 2 covers rows 10000..14999; group 1's last row (11999) holds
+    # token 12001, so groups 1 AND 2 legitimately overlap the range
+    assert keep == [1, 2]
+    got = r.read_stripe(2, row_groups=keep)
+    vals = [v for row in got.column("tokens").to_pylist() for v in row]
+    assert 12000 in vals and got.num_rows == 2000
