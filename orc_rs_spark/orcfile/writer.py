@@ -8,11 +8,15 @@ footer), file footer (type tree, stripe directory, column statistics),
 postscript, 1-byte postscript length.
 
 Encoding choices (all DIRECT_V2-era): ints/dates through RLEv2, strings
-and binary direct (RLEv2 LENGTH + payload), boolean/byte RLE, raw-LE
-floats, timestamps as base-2015 seconds + nano SECONDARY with ORC's
-trailing-zero suppression, decimals as unbounded zigzag varints + RLEv2
-scale stream. rowIndexStride=0 (legal: no row index written). Streams are
-individually block-framed when compression is zlib.
+and binary direct (RLEv2 LENGTH + payload) or sorted DICTIONARY_V2,
+boolean/byte RLE, raw-LE floats, timestamps as base-2015 seconds + nano
+SECONDARY with ORC's trailing-zero suppression, decimals as unbounded
+zigzag varints + RLEv2 scale stream. Files carry ROW_INDEX row groups
+(default stride 10000) with positions + per-group statistics at every
+nesting level, optional per-group bloom filters, a Metadata section of
+per-stripe statistics, and footer min/max (row_index_stride=0 restores
+the plain layout). Streams are individually block-framed when
+compression is zlib.
 """
 
 from __future__ import annotations
