@@ -27,6 +27,7 @@ from orc_rs_spark.kernels.byte_rle import boolean_rle_decode, byte_rle_decode
 from orc_rs_spark.kernels.lzblocks import lz4_block_decompress, snappy_decompress
 from orc_rs_spark.kernels.rlev1 import rlev1_decode
 from orc_rs_spark.kernels.rlev2 import rlev2_decode
+from orc_rs_spark.kernels.varint import varint_decode_zigzag128
 from orc_rs_spark.orcfile import proto
 from orc_rs_spark.orcfile.errors import (  # noqa: F401
     OrcBoundsError,
@@ -252,7 +253,13 @@ def _stats_overlap(st: proto.ColumnStatistics, lo, hi) -> bool:
         smin, smax = st.string_min, st.string_max
     if smin is None or smax is None:
         return True
-    return not (smax < lo or smin > hi)
+    try:
+        return not (smax < lo or smin > hi)
+    except TypeError:
+        # type-mismatched predicate (e.g. string bounds against an int
+        # column): keep everything rather than abort the scan — pruning
+        # may only skip PROVEN-empty ranges
+        return True
 
 
 def _bloom_test(bloom, value) -> bool:
@@ -308,23 +315,33 @@ def _runs(sorted_ids: list[int]) -> list[tuple[int, int]]:
     return runs
 
 
+def prune_stripes_stats(tail: OrcTail, stats: list, predicates: list[tuple]) -> list[int]:
+    """Stripe indices that MAY satisfy every ``(column, lo, hi)`` predicate,
+    from pre-parsed stripe statistics — the Metadata section is read and
+    parsed ONCE per file however many predicates the scan carries. Falls
+    back to all stripes when statistics are missing or malformed."""
+    n = len(tail.footer.stripes)
+    if not stats or len(stats) != n:
+        return list(range(n))
+    keep = set(range(n))
+    for column, lo, hi in predicates:
+        col_id = resolve_column_path(tail.footer.types, column)
+        if col_id is None:
+            continue
+        keep = {
+            i for i in keep
+            if col_id >= len(stats[i]) or _stats_overlap(stats[i][col_id], lo, hi)
+        }
+    return sorted(keep)
+
+
 def prune_stripes(path: str, column: str, lo, hi, tail: OrcTail | None = None) -> list[int]:
     """Stripe indices whose [min, max] for ``column`` overlaps [lo, hi].
     Falls back to all stripes when stripe statistics are missing."""
     if tail is None:
         tail = read_tail(path)
     stats = read_stripe_statistics(path, tail)
-    n = len(tail.footer.stripes)
-    if not stats or len(stats) != n:
-        return list(range(n))
-    col_id = resolve_column_path(tail.footer.types, column)
-    if col_id is None:
-        return list(range(n))
-    keep = []
-    for i, scols in enumerate(stats):
-        if col_id >= len(scols) or _stats_overlap(scols[col_id], lo, hi):
-            keep.append(i)
-    return keep
+    return prune_stripes_stats(tail, stats, [(column, lo, hi)])
 
 
 def _scatter(dense: pa.Array, present: np.ndarray | None) -> pa.Array:
@@ -377,6 +394,40 @@ class _StripeColumnReader:
         if enc in ("DIRECT_V2", "DICTIONARY_V2"):
             return rlev2_decode(b, n, signed=signed)
         return rlev1_decode(b, n, signed=signed)
+
+    def _decimal_dense(self, buf, n_dense: int, scales: np.ndarray,
+                       t: proto.OrcType) -> pa.Array:
+        """Dense decimal column from the DATA varint stream + SECONDARY
+        scales. Fast path: whole-array zigzag-i128 varint decode straight
+        into pyarrow's decimal128 two-word buffer layout — no per-value
+        Python (the reference loops per value,
+        src/column_reader/numeric_reader.rs:314-383). Falls back to the
+        python-int path only for Hive-0.11 unbounded decimals or files
+        whose per-value scales differ from the column scale (both need
+        per-value rescaling/rounding)."""
+        prec = t.precision or 38
+        scale = t.scale
+        if t.precision == 0:  # Hive 0.11 unbounded decimal: per-value scale
+            scale = int(scales.max()) if len(scales) else 0
+        elif n_dense == 0 or bool((scales == scale).all()):
+            lo, hi, _ = varint_decode_zigzag128(
+                np.frombuffer(buf, dtype=np.uint8), n_dense
+            )
+            words = np.empty((n_dense, 2), dtype=np.uint64)
+            words[:, 0] = lo
+            words[:, 1] = hi
+            return pa.Array.from_buffers(
+                pa.decimal128(max(prec, 1), scale), n_dense,
+                [None, pa.py_buffer(words.tobytes())],
+            )
+        from decimal import Decimal
+
+        mantissas = self._varint_bigints(bytes(buf), n_dense)
+        vals = [
+            Decimal(m).scaleb(-int(s)).quantize(Decimal(1).scaleb(-scale))
+            for m, s in zip(mantissas, scales)
+        ]
+        return pa.array(vals, type=pa.decimal128(max(prec, 1), scale))
 
     def _varint_bigints(self, buf: bytes, n: int) -> list[int]:
         """n zigzag base-128 varints of unbounded width (decimal mantissas,
@@ -578,20 +629,8 @@ class _StripeColumnReader:
             return _scatter(arr, present)
         if kind == "decimal":
             buf = self._stream_at(col, "DATA", pm["DATA"], 19 * n_dense + 32)
-            mantissas = self._varint_bigints(bytes(buf), n_dense)
             scales = self._ints_at(col, "SECONDARY", n_dense, pm, signed=True)
-            from decimal import Decimal
-
-            prec = t.precision or 38
-            scale = t.scale
-            if t.precision == 0:
-                scale = int(scales.max()) if len(scales) else 0
-            vals = [
-                Decimal(m).scaleb(-int(s)).quantize(Decimal(1).scaleb(-scale))
-                for m, s in zip(mantissas, scales)
-            ]
-            dense = pa.array(vals, type=pa.decimal128(max(prec, 1), scale))
-            return _scatter(dense, present)
+            return _scatter(self._decimal_dense(buf, n_dense, scales, t), present)
         raise RowIndexUnsupported(f"ORC kind {kind!r} has no positional decode")
 
     def read_column(self, col: int, n: int) -> pa.Array:
@@ -699,21 +738,9 @@ class _StripeColumnReader:
             arr = pa.array(epoch).cast(pa.timestamp("ns", tz="UTC" if kind == "timestamp_instant" else None))
             return _scatter(arr, present)
         if kind == "decimal":
-            mantissas = self._varint_bigints(data, n_dense)
             sbuf = self._stream(col, "SECONDARY")
             scales = self._ints(sbuf, n_dense, col, signed=True)
-            from decimal import Decimal
-
-            prec = t.precision or 38
-            scale = t.scale
-            if t.precision == 0:  # Hive 0.11 unbounded decimal: per-value scale
-                scale = int(scales.max()) if len(scales) else 0
-            vals = [
-                Decimal(m).scaleb(-int(s)).quantize(Decimal(1).scaleb(-scale))
-                for m, s in zip(mantissas, scales)
-            ]
-            dense = pa.array(vals, type=pa.decimal128(max(prec, 1), scale))
-            return _scatter(dense, present)
+            return _scatter(self._decimal_dense(data, n_dense, scales, t), present)
         raise OrcUnsupportedError(f"unsupported ORC type {kind!r} (column {col})")
 
 
@@ -730,6 +757,12 @@ class OrcFileReader:
         self.path = getattr(self.source, "path", "<source>")
         self.tail = read_tail(self.source)
         self.codec = self.tail.postscript.compression
+        # parsed (row_index, blooms) per stripe: a conjunctive scan probes
+        # the same stripe once per predicate, and without this each probe
+        # would range-read + decompress + proto-parse the index region
+        # again. Bounded (tasks walk a handful of stripes at a time).
+        self._index_cache: dict[int, tuple] = {}
+        self._index_cache_cap = 8
 
     def _column_subtree(self, col: int, out: set[int]) -> None:
         out.add(col)
@@ -806,19 +839,27 @@ class OrcFileReader:
             [pa.array([], type=schema.field(n).type) for n in names], names=names
         )
 
-    def _check_group_support(self, reader, index, col: int) -> None:
-        """Dry-run the position parse over a column subtree so the group
-        path either works for every column or falls back before any batch
-        is emitted."""
+    def _check_group_support(self, reader, index, col: int, n_groups: int) -> None:
+        """Dry-run the position parse over a column subtree — for EVERY
+        index entry, not just the first — so the group path either works
+        for the whole stripe or falls back before any batch is emitted.
+        (Validating only entry 0 let a malformed later entry raise
+        RowIndexUnsupported mid-yield, and the full-stripe fallback then
+        re-emitted rows the caller had already consumed.)"""
         t = self.tail.footer.types[col]
         if t.kind == "union":
             raise RowIndexUnsupported("union columns have no position contract")
         entries = index.get(col)
         if not entries:
             raise RowIndexUnsupported(f"column {col}: no ROW_INDEX stream")
-        reader._positions(col, entries[0].positions)
+        if len(entries) != n_groups:
+            raise RowIndexUnsupported(
+                f"column {col}: {len(entries)} index entries for {n_groups} row groups"
+            )
+        for e in entries:
+            reader._positions(col, e.positions)
         for sub in t.subtypes:
-            self._check_group_support(reader, index, sub)
+            self._check_group_support(reader, index, sub, n_groups)
 
     def _decode_group_runs(self, reader, stripe, names, subs, sel: list[int],
                            groups_per_batch: int):
@@ -829,8 +870,9 @@ class OrcFileReader:
         index = reader.row_index()
         if not index:
             raise RowIndexUnsupported("stripe has no ROW_INDEX streams")
+        n_groups = -(-n_rows // stride)
         for sub in subs:
-            self._check_group_support(reader, index, sub)
+            self._check_group_support(reader, index, sub, n_groups)
         for g0, glen in _runs(sel):
             for s in range(g0, g0 + glen, groups_per_batch):
                 cnt = min(groups_per_batch, g0 + glen - s)
@@ -919,7 +961,17 @@ class OrcFileReader:
 
     def _read_index_region(self, i: int):
         """(row_index, bloom_index) for stripe i from the index region
-        alone — no data bytes touched."""
+        alone — no data bytes touched. Parsed results are cached per
+        stripe (see __init__) so conjunctive predicates pay one read."""
+        if i in self._index_cache:
+            return self._index_cache[i]
+        out = self._read_index_region_uncached(i)
+        if len(self._index_cache) >= self._index_cache_cap:
+            self._index_cache.pop(next(iter(self._index_cache)))
+        self._index_cache[i] = out
+        return out
+
+    def _read_index_region_uncached(self, i: int):
         stripe = self.tail.footer.stripes[i]
         if stripe.index_length == 0:
             return {}, {}

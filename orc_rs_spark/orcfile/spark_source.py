@@ -15,7 +15,12 @@ from collections.abc import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-from orc_rs_spark.orcfile.reader import OrcFileReader, read_tail
+from orc_rs_spark.orcfile.reader import (
+    OrcFileReader,
+    prune_stripes_stats,
+    read_stripe_statistics,
+    read_tail,
+)
 
 _PA_TO_DDL = {
     pa.bool_(): "boolean",
@@ -138,6 +143,89 @@ def scan_partitions(n_work: int, default_parallelism: int) -> int:
     return max(1, min(n_work, 4 * max(1, default_parallelism)))
 
 
+def _schema_sig(tail) -> tuple:
+    """Hashable schema signature for mixed-schema detection: every field
+    of the type tree that affects decode or rendering, INCLUDING
+    varchar/char maximum_length (varchar(10) vs varchar(20) is a real
+    mismatch even though both scan as string)."""
+    return tuple(
+        (t.kind, tuple(t.subtypes), tuple(t.field_names), t.precision, t.scale,
+         t.maximum_length)
+        for t in tail.footer.types
+    )
+
+
+def _plan_file(f: str, predicates: list[tuple] | None) -> tuple[str, tuple, list[int]]:
+    """Plan one file: (path, schema signature, surviving stripe ids).
+    ONE tail read; when predicates are set, ONE Metadata read/parse covers
+    every predicate (prune_stripes_stats), instead of one per column."""
+    tail = read_tail(f)
+    if predicates:
+        stats = read_stripe_statistics(f, tail)
+        keep = prune_stripes_stats(tail, stats, predicates)
+    else:
+        keep = list(range(len(tail.footer.stripes)))
+    return f, _schema_sig(tail), keep
+
+
+# planning fans out to a Spark job above this file count; below it, a
+# driver-side thread pool hides the per-file tail-read latency
+DISTRIBUTED_PLAN_THRESHOLD = 512
+
+
+def _plan_scan(spark, files, predicates) -> list[tuple[str, int]]:
+    """(file, stripe) work units for a multi-file scan, with stripe-level
+    predicate pruning and mixed-schema detection.
+
+    Planning cost is the 100 TB driver bottleneck if done serially (10^5+
+    part files x one tail + one Metadata read each), so: small scans read
+    tails in a driver thread pool (I/O-bound, GIL released in file reads);
+    large scans push the per-file planning into a Spark job and only the
+    (file, stripe, sig) plan rows come back — the driver never opens the
+    data files at all."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(files) <= DISTRIBUTED_PLAN_THRESHOLD:
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            plans = list(ex.map(lambda f: _plan_file(f, predicates), files))
+    else:
+        n_tasks = scan_partitions(len(files), spark.sparkContext.defaultParallelism)
+        paths_df = spark.createDataFrame(
+            [(f,) for f in files], "path string"
+        ).repartition(n_tasks)
+
+        def plan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for b in batches:
+                for f in b.column("path").to_pylist():
+                    _f, sig, keep = _plan_file(f, predicates)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([f], type=pa.string()),
+                            pa.array([repr(sig)], type=pa.string()),
+                            pa.array([keep], type=pa.list_(pa.int64())),
+                        ],
+                        names=["path", "sig", "stripes"],
+                    )
+
+        rows = paths_df.mapInArrow(plan, "path string, sig string, stripes array<bigint>").collect()
+        order = {f: i for i, f in enumerate(files)}
+        plans = [(r["path"], r["sig"], [int(s) for s in r["stripes"]]) for r in rows]
+        plans.sort(key=lambda p: order[p[0]])
+    schema_sig, sig_file = None, None
+    work: list[tuple[str, int]] = []
+    for f, sig, keep in plans:
+        # one scan = one schema: a mixed-schema directory must fail HERE
+        # with file names, not mid-task with an opaque Arrow type error
+        if schema_sig is None:
+            schema_sig, sig_file = sig, f
+        elif sig != schema_sig:
+            raise ValueError(
+                f"ORC schema mismatch in one scan: {f} differs from {sig_file}"
+            )
+        work.extend((f, i) for i in keep)
+    return work
+
+
 def read_orc(
     spark: SparkSession,
     path: str | list[str],
@@ -151,15 +239,17 @@ def read_orc(
     ``path`` may be a single file, a directory of part files, or a list of
     files — all stripes across all files form ONE scan. The driver reads
     only file tails (schema comes from the footer type tree, never from
-    data). ``predicate`` is ``(column, lo, hi)`` or a LIST of such tuples
-    (a conjunction); it prunes at TWO granularities: the driver drops
-    whole stripes through each file's Metadata statistics, then each task
-    drops 10k-row groups inside surviving stripes through the ROW_INDEX
-    min/max — plus bloom probes for point ranges — the index the
-    reference parses but never uses (src/stripe.rs:171). Decode streams
-    out in ≤ batch_rows Arrow batches (bounded task memory, whatever the
-    stripe size). The predicate still needs re-applying row-level by the
-    caller (stats keep the superset)."""
+    data), in parallel — thread pool for small scans, a distributed
+    planning job above DISTRIBUTED_PLAN_THRESHOLD files. ``predicate`` is
+    ``(column, lo, hi)`` or a LIST of such tuples (a conjunction); it
+    prunes at TWO granularities: planning drops whole stripes through each
+    file's Metadata statistics (read ONCE per file for all predicates),
+    then each task drops row groups inside surviving stripes through the
+    ROW_INDEX min/max — plus bloom probes for point ranges — the index
+    the reference parses but never uses (src/stripe.rs:171). Decode
+    streams out in ≤ batch_rows Arrow batches (bounded task memory,
+    whatever the stripe size). The predicate still needs re-applying
+    row-level by the caller (stats keep the superset)."""
     import glob as _glob
     import os
 
@@ -175,29 +265,7 @@ def read_orc(
     predicates: list[tuple] | None = None
     if predicate is not None:
         predicates = [predicate] if isinstance(predicate, tuple) else list(predicate)
-    work: list[tuple[str, int]] = []
-    schema_sig = None
-    for f in files:
-        tail = read_tail(f)
-        # one scan = one schema: a mixed-schema directory must fail HERE
-        # with file names, not mid-task with an opaque Arrow type error
-        sig = tuple(
-            (t.kind, tuple(t.subtypes), tuple(t.field_names), t.precision, t.scale)
-            for t in tail.footer.types
-        )
-        if schema_sig is None:
-            schema_sig, sig_file = sig, f
-        elif sig != schema_sig:
-            raise ValueError(
-                f"ORC schema mismatch in one scan: {f} differs from {sig_file}"
-            )
-        keep = set(range(len(tail.footer.stripes)))
-        if predicates:
-            from orc_rs_spark.orcfile.reader import prune_stripes
-
-            for col, lo, hi in predicates:
-                keep &= set(prune_stripes(f, col, lo, hi, tail))
-        work.extend((f, i) for i in sorted(keep))
+    work = _plan_scan(spark, files, predicates)
     if ddl is None:
         tail0 = read_tail(files[0])
         root = tail0.footer.types[0]
