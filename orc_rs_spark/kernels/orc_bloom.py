@@ -72,6 +72,72 @@ def murmur3_hash64(data: bytes, seed: int = DEFAULT_SEED) -> int:
     return _fmix64(h)
 
 
+def murmur3_hash64_many(payload: np.ndarray, starts: np.ndarray,
+                        lengths: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Murmur3 hash64 of N variable-length byte strings, vectorized ACROSS
+    the strings: iteration count is max(blocks-per-string), every step a
+    whole-array gather + uint64 mix (the scalar ``murmur3_hash64`` loops
+    per byte-block per value in Python). ``payload`` must carry >= 7 bytes
+    of slack past the last string for the tail gather.
+
+    Inputs: uint8 payload buffer, per-string start offsets and lengths.
+    Returns unsigned 64-bit hashes identical to ``murmur3_hash64``."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    c1 = np.uint64(_C1)
+    c2 = np.uint64(_C2)
+    nblocks = lengths >> 3
+    # process in descending-block-count order: the strings still active at
+    # block j are then a PREFIX, so each iteration works on array slices
+    # (views) instead of boolean-mask copies
+    order = np.argsort(-nblocks, kind="stable")
+    s_starts = starts[order]
+    s_nblocks = nblocks[order]
+    s_lengths = lengths[order]
+    h = np.full(n, seed, dtype=np.uint64)
+    neg_blocks = -s_nblocks  # ascending
+    with np.errstate(over="ignore"):
+        for j in range(int(s_nblocks[0]) if n else 0):
+            cnt = int(np.searchsorted(neg_blocks, -j, side="left"))
+            idx = s_starts[:cnt] + 8 * j
+            k = np.ascontiguousarray(payload[idx[:, None] + np.arange(8)]).view("<u8").ravel()
+            k *= c1
+            k = (k << np.uint64(31)) | (k >> np.uint64(33))
+            k *= c2
+            hm = h[:cnt]
+            hm ^= k
+            hm[:] = (hm << np.uint64(27)) | (hm >> np.uint64(37))
+            hm *= np.uint64(5)
+            hm += np.uint64(0x52DCE729)
+        tl = s_lengths & 7
+        tm = tl > 0
+        if tm.any():
+            tstart = s_starts[tm] + 8 * s_nblocks[tm]
+            raw = payload[tstart[:, None] + np.arange(7)].astype(np.uint64)
+            valid = np.arange(7)[None, :] < tl[tm, None]
+            shifts = (np.uint64(8) * np.arange(7, dtype=np.uint64))[None, :]
+            k1 = ((raw << shifts) * valid.astype(np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+            k1 *= c1
+            k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+            k1 *= c2
+            h[tm] ^= k1
+        h ^= s_lengths.astype(np.uint64)
+        # fmix64, whole-array
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
+
+
 def thomas_wang_hash64(v):
     """Java BloomFilter.getLongHash — vectorized over int64 arrays.
 
@@ -166,19 +232,32 @@ class OrcBloom:
                 self.bitset, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
             )
 
-    def add_longs(self, values: np.ndarray) -> None:
-        h = thomas_wang_hash64(values)
-        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        h2 = (h >> np.uint64(32)).astype(np.uint32).view(np.int32)
-        self._add_positions(h1, h2)
-
-    def add_bytes_many(self, values) -> None:
-        hs = np.array([murmur3_hash64(v) for v in values], dtype=np.uint64)
+    def add_hashes(self, hs: np.ndarray) -> None:
         if not len(hs):
             return
         h1 = (hs & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         h2 = (hs >> np.uint64(32)).astype(np.uint32).view(np.int32)
         self._add_positions(h1, h2)
+
+    def add_longs(self, values: np.ndarray) -> None:
+        self.add_hashes(thomas_wang_hash64(values))
+
+    def add_doubles(self, values: np.ndarray) -> None:
+        """Java BloomFilter.addDouble: addLong(doubleToLongBits(v)) — raw
+        IEEE bits with NaN canonicalized to the Java quiet-NaN pattern."""
+        v = np.asarray(values, dtype=np.float64)
+        bits = v.view(np.int64)
+        bits = np.where(np.isnan(v), np.int64(0x7FF8000000000000), bits)
+        self.add_longs(bits)
+
+    def add_bytes_many(self, values) -> None:
+        self.add_hashes(np.array([murmur3_hash64(v) for v in values], dtype=np.uint64))
+
+    def add_string_parts(self, payload: np.ndarray, starts: np.ndarray,
+                         lengths: np.ndarray) -> None:
+        """Build from Arrow string-buffer parts — no per-value Python
+        objects (see murmur3_hash64_many)."""
+        self.add_hashes(murmur3_hash64_many(payload, starts, lengths))
 
     def to_proto_body(self) -> bytes:
         from orc_rs_spark.orcfile.writer import _field_bytes, _field_varint

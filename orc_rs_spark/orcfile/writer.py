@@ -480,12 +480,23 @@ class OrcWriter:
         self.stripe_rows = stripe_rows
         self.types: list[dict] = []
         _flatten_types(schema, self.types)
+        # union columns have no public position-layout convention we can
+        # verify against other writers; fall back to unindexed files. This
+        # downgrade happens BEFORE bloom validation so a bloom request on
+        # a union-bearing schema raises instead of silently dropping the
+        # filters the caller asked for.
+        if any(t["kind"] == "union" for t in self.types):
+            row_index_stride = 0
         # opt-in per-row-group bloom filters (Java's orc.bloom.filter.columns
-        # analogue); resolved to top-level column ids, int/string/date only
+        # analogue); resolved to top-level column ids — int/date/string
+        # kinds plus float/double (doubleToLongBits, Java addDouble parity)
         self.bloom_cols: dict[int, int] = {}  # col_id -> top-level position
         if bloom_columns:
             if row_index_stride <= 0:
-                raise ValueError("bloom_columns requires a row index stride")
+                raise ValueError(
+                    "bloom_columns requires a row index stride (union columns "
+                    "force an unindexed file)"
+                )
             root = self.types[0]
             for name in bloom_columns:
                 if name not in root["names"]:
@@ -494,13 +505,9 @@ class OrcWriter:
                 sub = root["subtypes"][pos]
                 kind = self.types[sub]["kind"]
                 if kind not in ("byte", "short", "int", "long", "date",
-                                "string", "varchar", "char"):
+                                "float", "double", "string", "varchar", "char"):
                     raise ValueError(f"bloom filters unsupported for {kind} column {name!r}")
                 self.bloom_cols[sub] = pos
-        # union columns have no public position-layout convention we can
-        # verify against other writers; fall back to unindexed files
-        if any(t["kind"] == "union" for t in self.types):
-            row_index_stride = 0
         self.row_index_stride = row_index_stride
         self.codec_enum = {"none": 0, "zlib": 1}[compression]
         self._f = open(path, "wb")
@@ -783,10 +790,18 @@ class OrcWriter:
                             dense = dense.cast(pa.int32())
                         vals = dense.to_numpy(zero_copy_only=False).astype(np.int64)
                         bf.add_longs(vals)
+                    elif kind in ("float", "double"):
+                        bf.add_doubles(dense.to_numpy(zero_copy_only=False))
                     else:
-                        bf.add_bytes_many(
-                            [v.encode("utf-8") for v in dense.to_pylist()]
-                        )
+                        # hash straight from the Arrow offsets/payload
+                        # buffers — no per-value python objects
+                        from orc_rs_spark.kernels.strings import arrow_string_parts
+
+                        lengths, payload = arrow_string_parts(dense)
+                        starts = np.zeros(len(lengths), dtype=np.int64)
+                        np.cumsum(lengths[:-1], out=starts[1:])
+                        buf = np.frombuffer(payload + b"\x00" * 7, dtype=np.uint8)
+                        bf.add_string_parts(buf, starts, lengths)
                     body += _field_bytes(1, bf.to_proto_body())
                 bloom_streams[col] = (
                     block_compress(body, self.compression) if comp else body

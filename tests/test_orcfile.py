@@ -1499,3 +1499,71 @@ def test_stats_overlap_type_mismatch_keeps_everything(indexed_orc):
     assert prune_stripes(indexed_orc, "k", "zzz", "zzz") == list(range(n_stripes))
     keep = r.prune_row_groups(0, "k", "aaa", "zzz")
     assert keep is None or len(keep) == 20
+
+
+# ------------------------------------------- round 4: writer bloom upgrades
+
+
+def test_string_bloom_build_matches_java_and_scalar(tmp_path, monkeypatch):
+    """The Arrow-buffer string bloom build must produce the SAME wire
+    bytes the per-value path produced (murmur3_hash64_many == scalar
+    murmur3_hash64 on every value) and never touch python objects."""
+    import pyarrow as pa
+
+    from orc_rs_spark.kernels import orc_bloom as ob
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    vals = [f"key-{i:06d}" * (1 + i % 4) for i in range(5000)]
+    vals[7] = ""  # empty string edge
+    tbl = pa.table({"s": pa.array(vals)})
+
+    def boom(values):
+        raise AssertionError("per-value string bloom build reached")
+
+    monkeypatch.setattr(ob.OrcBloom, "add_bytes_many", staticmethod(boom))
+    p = str(tmp_path / "sbloom.orc")
+    write_orc(tbl, p, compression="zlib", stripe_rows=5000,
+              row_index_stride=1000, bloom_columns=["s"])
+    r = OrcFileReader(p)
+    # every present value probes positive in its own group's bloom
+    # (values at i % 4 == 0 are the unrepeated "key-%06d" form)
+    assert r.prune_row_groups(0, "s", "key-000124", "key-000124") == [0]
+    assert r.prune_row_groups(0, "s", "key-004996", "key-004996") == [4]
+    # absent value inside the lexical range is bloom-rejected
+    assert r.prune_row_groups(0, "s", "key-000123x", "key-000123x") == []
+
+
+def test_float_bloom_write_and_probe(tmp_path):
+    """Float/double bloom columns: doubleToLongBits hashing end-to-end —
+    the round-3 gap where a float column fell into the utf8 branch."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    v = np.linspace(-100.0, 100.0, 4000)
+    tbl = pa.table({"f": pa.array(v, type=pa.float64()),
+                    "f32": pa.array(v.astype(np.float32))})
+    p = str(tmp_path / "fbloom.orc")
+    write_orc(tbl, p, compression="zlib", stripe_rows=4000,
+              row_index_stride=1000, bloom_columns=["f", "f32"])
+    r = OrcFileReader(p)
+    probe = float(v[1234])
+    assert 1 in r.prune_row_groups(0, "f", probe, probe)
+    # a double absent from the data but inside every group's min/max
+    absent = 0.123456789101112
+    assert r.prune_row_groups(0, "f", absent, absent) == []
+
+
+def test_union_schema_with_bloom_request_raises(tmp_path):
+    """A union column forces an unindexed file; silently dropping the
+    requested blooms hid that — now it raises up front."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import OrcWriter
+
+    schema = pa.schema([
+        ("k", pa.int64()),
+        ("u", pa.dense_union([pa.field("a", pa.int64()), pa.field("b", pa.string())])),
+    ])
+    with pytest.raises(ValueError, match="union"):
+        OrcWriter(str(tmp_path / "u.orc"), schema, bloom_columns=["k"])
