@@ -539,9 +539,12 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
     # differences against each frame's running offset; int64 wraparound in
     # the global cumsum cancels in the difference, mod-2^64 arithmetic)
     delta_frames: dict[int, list[tuple[int, int, int, int, int, int]]] = {}
-    # patched-base frames batch their DATA unpack the same way (patch lists
-    # are decoded inline in the walk — they are <= 31 entries each)
+    # patched-base frames batch their DATA unpack the same way; their patch
+    # LISTS (<= 31 entries each) also batch — one bitunpack per distinct
+    # combined width instead of one per frame (patched-heavy streams spent
+    # more time in per-frame unpack setup than in actual bit work)
     patched_frames: dict[int, list] = {}
+    patch_jobs: dict[int, list] = {}  # cw -> [(frame, patch_pos, pll, pw)]
     while got < count:
         if pos >= len(b):
             raise ValueError(f"RLEv2 stream truncated at {got}/{count} values")
@@ -577,22 +580,12 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
             nbytes = packed_size(n, w)
             data_pos = pos
             pos += nbytes
-            # patch entries are tiny (PLL <= 31): decode inline; the main
-            # DATA pack joins the per-width batch below like direct frames
+            frame = [got, min(n, count - got), n, data_pos, base, None, None]
+            patched_frames.setdefault(w, []).append(frame)
             if pll:
                 cw = closest_direct_width(pgw + pw)
-                pbytes = packed_size(pll, cw)
-                entries = bitunpack(b[pos : pos + pbytes], cw, pll)
-                pos += pbytes
-                gaps = (entries >> np.uint64(pw)).astype(np.int64)
-                patches = entries & ((_U64_ONE << np.uint64(pw)) - _U64_ONE)
-                idx = np.cumsum(gaps)
-            else:
-                idx = None
-                patches = None
-            patched_frames.setdefault(w, []).append(
-                (got, min(n, count - got), n, data_pos, base, idx, patches)
-            )
+                patch_jobs.setdefault(cw, []).append((frame, pos, pll, pw))
+                pos += packed_size(pll, cw)
         else:  # delta
             w = decode_delta_width((h0 >> 1) & 0x1F)
             n = (((h0 & 1) << 8) | int(b[pos + 1])) + 1
@@ -642,6 +635,21 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
         for g, take, _, n in frames:
             out[g : g + take] = vals[voff : voff + take]
             voff += (n + 7) // 8 * 8
+    for cw, jobs in patch_jobs.items():
+        padded = sum((pll + 7) // 8 * 8 for _, _, pll, _ in jobs)
+        packed = np.zeros(padded * cw // 8, dtype=np.uint8)
+        off = 0
+        for _, p, pll, _ in jobs:
+            nb = packed_size(pll, cw)
+            packed[off : off + nb] = b[p : p + nb]
+            off += (pll + 7) // 8 * 8 * cw // 8
+        ents = bitunpack(packed, cw, padded)
+        voff = 0
+        for frame, _, pll, pw in jobs:
+            e = ents[voff : voff + pll]
+            frame[5] = np.cumsum((e >> np.uint64(pw)).astype(np.int64))  # idx
+            frame[6] = e & ((_U64_ONE << np.uint64(pw)) - _U64_ONE)  # patches
+            voff += (pll + 7) // 8 * 8
     for w, frames in patched_frames.items():
         padded_vals = sum((n + 7) // 8 * 8 for _, _, n, _, _, _, _ in frames)
         packed = np.zeros(padded_vals * w // 8, dtype=np.uint8)

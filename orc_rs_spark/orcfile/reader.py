@@ -922,21 +922,21 @@ class OrcFileReader:
                             row_groups: list[int] | None = None):
         """Iterate one stripe as RecordBatches of ≤ ~batch_rows rows (the
         reference's bounded-batch pull loop, src/reader.rs:17-27 applied
-        at row-group granularity). With a row index, memory is bounded by
-        the covering row groups; without one the stripe decodes whole and
-        is sliced (correct, not bounded — flagged so callers know)."""
+        at row-group granularity). Selective reads (row_groups set) decode
+        positionally so memory is bounded by the covering groups; a FULL
+        read decodes the stripe in one pass per column and slices — the
+        per-group position parsing and restarted partial decompressions
+        are pure overhead when every group is wanted anyway, and memory is
+        already bounded by the stripe (the format's sizing unit)."""
         stride = self.tail.footer.row_index_stride
         if row_groups is not None and stride <= 0:
             raise OrcBoundsError("row_groups given but the file has no rowIndexStride")
         reader, stripe = self._open_stripe(i, columns)
         names, subs = self._select(columns)
         n_rows = stripe.number_of_rows
-        if stride > 0 and stripe.index_length > 0:
+        if row_groups is not None and stride > 0 and stripe.index_length > 0:
             n_groups = -(-n_rows // stride)
-            sel = (
-                sorted({int(g) for g in row_groups})
-                if row_groups is not None else list(range(n_groups))
-            )
+            sel = sorted({int(g) for g in row_groups})
             if not sel:
                 return
             gpb = max(1, batch_rows // stride)

@@ -325,3 +325,58 @@ def test_ann_ivf_pipeline_and_recall(spark):
     sizes = assigns.groupBy("cluster").count().collect()
     assert len(sizes) >= 6  # k-means actually spread the corpus
     assigns.unpersist()
+
+
+def test_multimodal_synthesis_matches_scalar_codecs_and_buckets():
+    """The bucketed media build must emit byte-identical payloads to the
+    scalar make_bmp/make_wav path, with Python-level codec work scaling in
+    GEOMETRY BUCKETS (make_bmp called once per distinct (w, h) for the
+    header), never per row."""
+    import pyarrow as pa
+
+    from orc_rs_spark.textops import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    n = 400
+    texts = ["".join(chr(65 + int(c)) for c in rng.integers(0, 26, int(k)))
+             for k in rng.integers(0, 400, n)]
+    ids = np.arange(n, dtype=np.int64)
+    ncs = np.array([len(t) for t in texts], dtype=np.int64)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(ids), pa.array(texts), pa.array(ncs)],
+        names=["doc_id", "text", "n_chars"],
+    )
+    calls = {"bmp": 0, "wav": 0}
+    real_bmp, real_wav = mm.make_bmp, mm.make_wav
+
+    def bmp_counting(pix):
+        calls["bmp"] += 1
+        return real_bmp(pix)
+
+    def wav_counting(s, rate=16000):
+        calls["wav"] += 1
+        return real_wav(s, rate)
+
+    mm.make_bmp, mm.make_wav = bmp_counting, wav_counting
+    try:
+        out = mm.synthesize_media_batch(batch)  # the mapInArrow body
+    finally:
+        mm.make_bmp, mm.make_wav = real_bmp, real_wav
+
+    # scalar reference payloads
+    for i in range(n):
+        raw = np.frombuffer(texts[i].encode(), dtype=np.uint8)
+        nc = ncs[i]
+        if i % 2 == 0:
+            w, h = 8 + nc % 9, 8 + (nc // 9) % 9
+            want = real_bmp(np.resize(raw, (h, w)).astype(np.uint8))
+        else:
+            ns = 64 + nc % 129
+            want = real_wav((np.resize(raw, ns).astype(np.int16) - 128) * 256)
+        assert out.column("payload")[i].as_py() == want, f"row {i}"
+    # python codec calls == bucket count (headers only), not row count
+    n_bmp_buckets = len({(int(8 + nc % 9), int(8 + (nc // 9) % 9))
+                         for i, nc in zip(ids, ncs) if i % 2 == 0})
+    n_wav_buckets = len({int(64 + nc % 129) for i, nc in zip(ids, ncs) if i % 2 == 1})
+    assert calls["bmp"] == n_bmp_buckets < n / 2
+    assert calls["wav"] == n_wav_buckets < n / 2
