@@ -544,8 +544,6 @@ class _StripeColumnReader:
         left as a TODO, src/stripe.rs:171)."""
         t = self.types[col]
         kind = t.kind
-        if kind == "union":
-            raise RowIndexUnsupported("union columns have no position contract")
         entries = index.get(col)
         if not entries or g >= len(entries):
             raise RowIndexUnsupported(f"column {col}: no index entry for group {g}")
@@ -554,6 +552,28 @@ class _StripeColumnReader:
         if "PRESENT" in pm:
             present = self._bits_at(col, "PRESENT", n, pm).astype(bool)
         n_dense = int(present.sum()) if present is not None else n
+
+        if kind == "union":
+            # TAG stream is byte RLE (same position contract as a byte
+            # column: chunk offset, decompressed skip, value skip); each
+            # child's own index entry locates its values for this group
+            cpos = pm["DATA"]
+            vskip = int(cpos[2]) if len(cpos) > 2 else 0
+            need = vskip + n_dense
+            buf = self._stream_at(col, "DATA", cpos, need + need // 128 + 4)
+            tags = byte_rle_decode(np.frombuffer(buf, dtype=np.uint8), need)[vskip:].astype(np.int8)
+            counts = np.bincount(tags, minlength=len(t.subtypes))
+            children = [
+                self.read_column_group(sub, int(counts[ci]), index, g)
+                for ci, sub in enumerate(t.subtypes)
+            ]
+            offsets = np.zeros(n_dense, dtype=np.int32)
+            for ci in range(len(t.subtypes)):
+                sel = tags == ci
+                offsets[sel] = np.arange(int(counts[ci]), dtype=np.int32)
+            if present is not None:
+                raise ValueError("nullable union columns not supported")
+            return pa.UnionArray.from_dense(pa.array(tags), pa.array(offsets), children)
 
         if kind == "struct":
             children = [self.read_column_group(sub, n_dense, index, g) for sub in t.subtypes]
@@ -847,8 +867,6 @@ class OrcFileReader:
         RowIndexUnsupported mid-yield, and the full-stripe fallback then
         re-emitted rows the caller had already consumed.)"""
         t = self.tail.footer.types[col]
-        if t.kind == "union":
-            raise RowIndexUnsupported("union columns have no position contract")
         entries = index.get(col)
         if not entries:
             raise RowIndexUnsupported(f"column {col}: no ROW_INDEX stream")

@@ -266,6 +266,12 @@ def _walk_dense(types: list[dict], col: int, arr, out: dict[int, pa.Array]) -> N
     elif kind == "map":
         _walk_dense(types, node["subtypes"][0], dense.keys, out)
         _walk_dense(types, node["subtypes"][1], dense.items, out)
+    elif kind == "union":
+        tags = np.asarray(dense.type_codes)
+        offsets = np.asarray(dense.offsets)
+        for ci, sub in enumerate(node["subtypes"]):
+            child = dense.field(ci).take(pa.array(offsets[tags == ci]))
+            _walk_dense(types, sub, child, out)
 
 
 def _dictionary_streams(sorted_dict: pa.Array) -> list[tuple[int, bytes]]:
@@ -480,23 +486,13 @@ class OrcWriter:
         self.stripe_rows = stripe_rows
         self.types: list[dict] = []
         _flatten_types(schema, self.types)
-        # union columns have no public position-layout convention we can
-        # verify against other writers; fall back to unindexed files. This
-        # downgrade happens BEFORE bloom validation so a bloom request on
-        # a union-bearing schema raises instead of silently dropping the
-        # filters the caller asked for.
-        if any(t["kind"] == "union" for t in self.types):
-            row_index_stride = 0
         # opt-in per-row-group bloom filters (Java's orc.bloom.filter.columns
         # analogue); resolved to top-level column ids — int/date/string
         # kinds plus float/double (doubleToLongBits, Java addDouble parity)
         self.bloom_cols: dict[int, int] = {}  # col_id -> top-level position
         if bloom_columns:
             if row_index_stride <= 0:
-                raise ValueError(
-                    "bloom_columns requires a row index stride (union columns "
-                    "force an unindexed file)"
-                )
+                raise ValueError("bloom_columns requires a row index stride")
             root = self.types[0]
             for name in bloom_columns:
                 if name not in root["names"]:

@@ -1554,9 +1554,9 @@ def test_float_bloom_write_and_probe(tmp_path):
     assert r.prune_row_groups(0, "f", absent, absent) == []
 
 
-def test_union_schema_with_bloom_request_raises(tmp_path):
-    """A union column forces an unindexed file; silently dropping the
-    requested blooms hid that — now it raises up front."""
+def test_bloom_on_union_column_raises(tmp_path):
+    """Bloom filters target hashable leaf kinds; requesting one ON a union
+    column raises instead of writing a meaningless filter."""
     import pyarrow as pa
 
     from orc_rs_spark.orcfile.writer import OrcWriter
@@ -1565,5 +1565,55 @@ def test_union_schema_with_bloom_request_raises(tmp_path):
         ("k", pa.int64()),
         ("u", pa.dense_union([pa.field("a", pa.int64()), pa.field("b", pa.string())])),
     ])
-    with pytest.raises(ValueError, match="union"):
-        OrcWriter(str(tmp_path / "u.orc"), schema, bloom_columns=["k"])
+    with pytest.raises(ValueError, match="unsupported for union"):
+        OrcWriter(str(tmp_path / "u.orc"), schema, bloom_columns=["u"])
+
+
+def _union_table(n: int) -> "pa.Table":
+    import pyarrow as pa
+
+    tags = pa.array([i % 3 for i in range(n)], type=pa.int8())
+    offsets = pa.array([i // 3 for i in range(n)], type=pa.int32())
+    k = n // 3
+    ints = pa.array(list(range(k)), type=pa.int64())
+    strs = pa.array([f"s{i}" for i in range(k)], type=pa.string())
+    dbls = pa.array([i * 0.5 for i in range(k)], type=pa.float64())
+    u = pa.UnionArray.from_dense(tags, offsets, [ints, strs, dbls])
+    return pa.table({"k": pa.array(range(n), type=pa.int64()), "u": u})
+
+
+def test_union_positional_group_decode(tmp_path):
+    """Round-3's last RowIndexUnsupported gap: union columns now decode
+    positionally — TAG stream via the byte-RLE position contract, each
+    child sought through its own index entry. Every group must equal the
+    full decode's slice (no JVM ground truth exists — Spark has no union
+    type — so the contract is validated self-consistently plus the
+    Java-verified byte/child position contracts it reuses)."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    n = 9000
+    tbl = _union_table(n)
+    p = str(tmp_path / "u_idx.orc")
+    write_orc(tbl, p, compression="zlib", stripe_rows=6000, row_index_stride=1000)
+    r = OrcFileReader(p)
+    assert r.tail.footer.stripes[0].index_length > 0
+    full = r.read_stripe(0)
+    stride = 1000
+    for g in range(6):
+        got = r.read_stripe(0, row_groups=[g])
+        want = pa.Table.from_batches([full]).slice(g * stride, stride)
+        assert got.column("u").to_pylist() == want.column("u").to_pylist(), f"group {g}"
+        assert got.column("k").to_pylist() == want.column("k").to_pylist()
+    # positional path actually used (not the full-decode fallback)
+    reader, stripe = r._open_stripe(0)
+    names, subs = r._select(None)
+    index = reader.row_index()
+    for sub in subs:
+        r._check_group_support(reader, index, sub, n_groups=6)
+    # bounded-batch reads agree too, across both stripes
+    got_all = pa.Table.from_batches(
+        [b for i in range(2) for b in r.read_stripe_batches(i, batch_rows=1500)]
+    )
+    assert got_all.column("u").to_pylist() == tbl.column("u").to_pylist()
