@@ -545,37 +545,41 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
     # more time in per-frame unpack setup than in actual bit work)
     patched_frames: dict[int, list] = {}
     patch_jobs: dict[int, list] = {}  # cw -> [(frame, patch_pos, pll, pw)]
+    blen = len(mb)
     while got < count:
-        if pos >= len(b):
+        if pos >= blen:
             raise ValueError(f"RLEv2 stream truncated at {got}/{count} values")
-        h0 = int(b[pos])
+        h0 = mb[pos]  # bytes indexing: plain int, no numpy-scalar boxing
         tag = h0 >> 6
         if tag == 0:  # short repeat
             w = ((h0 >> 3) & 0x7) + 1
             n = (h0 & 0x7) + 3
-            u = int.from_bytes(b[pos + 1 : pos + 1 + w].tobytes(), "big")
-            val = int(_from_unsigned(np.array([u], dtype=np.uint64), signed)[0])
+            u = int.from_bytes(mb[pos + 1 : pos + 1 + w], "big")
+            if signed:
+                val = (u >> 1) ^ -(u & 1)
+            else:  # int64 wrap, matching the array path's uint64->int64 view
+                val = u - (1 << 64) if u >= (1 << 63) else u
             out[got : got + n] = val
             pos += 1 + w
         elif tag == 1:  # direct
             w = decode_direct_width((h0 >> 1) & 0x1F)
-            n = (((h0 & 1) << 8) | int(b[pos + 1])) + 1
+            n = (((h0 & 1) << 8) | mb[pos + 1]) + 1
             pos += 2
             nbytes = packed_size(n, w)
-            if pos + nbytes > len(b):
+            if pos + nbytes > blen:
                 raise ValueError(f"bitpacked stream truncated at {got}/{count} values")
             direct_frames.setdefault(w, []).append((got, min(n, count - got), pos, n))
             pos += nbytes
         elif tag == 2:  # patched base
             w = decode_direct_width((h0 >> 1) & 0x1F)
-            n = (((h0 & 1) << 8) | int(b[pos + 1])) + 1
-            h2, h3 = int(b[pos + 2]), int(b[pos + 3])
+            n = (((h0 & 1) << 8) | mb[pos + 1]) + 1
+            h2, h3 = mb[pos + 2], mb[pos + 3]
             bw = ((h2 >> 5) & 0x7) + 1
             pw = decode_direct_width(h2 & 0x1F)
             pgw = ((h3 >> 5) & 0x7) + 1
             pll = h3 & 0x1F
             pos += 4
-            base = _decode_base(b[pos : pos + bw].tobytes())
+            base = _decode_base(mb[pos : pos + bw])
             pos += bw
             nbytes = packed_size(n, w)
             data_pos = pos
@@ -588,7 +592,7 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
                 pos += packed_size(pll, cw)
         else:  # delta
             w = decode_delta_width((h0 >> 1) & 0x1F)
-            n = (((h0 & 1) << 8) | int(b[pos + 1])) + 1
+            n = (((h0 & 1) << 8) | mb[pos + 1]) + 1
             pos += 2
             u = 0
             shift = 0
