@@ -173,44 +173,13 @@ def _plan_file(f: str, predicates: list[tuple] | None) -> tuple[str, tuple, list
 DISTRIBUTED_PLAN_THRESHOLD = 512
 
 
-def _plan_scan(spark, files, predicates) -> list[tuple[str, int]]:
-    """(file, stripe) work units for a multi-file scan, with stripe-level
-    predicate pruning and mixed-schema detection.
-
-    Planning cost is the 100 TB driver bottleneck if done serially (10^5+
-    part files x one tail + one Metadata read each), so: small scans read
-    tails in a driver thread pool (I/O-bound, GIL released in file reads);
-    large scans push the per-file planning into a Spark job and only the
-    (file, stripe, sig) plan rows come back — the driver never opens the
-    data files at all."""
+def _plan_scan_threaded(files, predicates) -> list[tuple[str, int]]:
+    """(file, stripe) work units via a driver thread pool (I/O-bound, GIL
+    released in file reads), with mixed-schema detection on the driver."""
     from concurrent.futures import ThreadPoolExecutor
 
-    if len(files) <= DISTRIBUTED_PLAN_THRESHOLD:
-        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
-            plans = list(ex.map(lambda f: _plan_file(f, predicates), files))
-    else:
-        n_tasks = scan_partitions(len(files), spark.sparkContext.defaultParallelism)
-        paths_df = spark.createDataFrame(
-            [(f,) for f in files], "path string"
-        ).repartition(n_tasks)
-
-        def plan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            for b in batches:
-                for f in b.column("path").to_pylist():
-                    _f, sig, keep = _plan_file(f, predicates)
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array([f], type=pa.string()),
-                            pa.array([repr(sig)], type=pa.string()),
-                            pa.array([keep], type=pa.list_(pa.int64())),
-                        ],
-                        names=["path", "sig", "stripes"],
-                    )
-
-        rows = paths_df.mapInArrow(plan, "path string, sig string, stripes array<bigint>").collect()
-        order = {f: i for i, f in enumerate(files)}
-        plans = [(r["path"], r["sig"], [int(s) for s in r["stripes"]]) for r in rows]
-        plans.sort(key=lambda p: order[p[0]])
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+        plans = list(ex.map(lambda f: _plan_file(f, predicates), files))
     schema_sig, sig_file = None, None
     work: list[tuple[str, int]] = []
     for f, sig, keep in plans:
@@ -224,6 +193,38 @@ def _plan_scan(spark, files, predicates) -> list[tuple[str, int]]:
             )
         work.extend((f, i) for i in keep)
     return work
+
+
+def _plan_scan_distributed(spark, files, predicates, sig0: tuple, sig_file: str) -> DataFrame:
+    """(path, stripe) plan DataFrame from a Spark job over the file list —
+    the driver never opens a data file and never collects the plan: tasks
+    read their files' tails + Metadata, prune stripes for every predicate
+    in one pass, validate the schema signature against file 0's (failing
+    fast with both file names), and the resulting plan rows flow straight
+    into the decode stage. At 10^6 part files / 10^7 stripes nothing
+    scales with the table on the driver except the path list itself."""
+    n_tasks = scan_partitions(len(files), spark.sparkContext.defaultParallelism)
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(n_tasks)
+
+    def plan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            for f in b.column("path").to_pylist():
+                _f, sig, keep = _plan_file(f, predicates)
+                if sig != sig0:
+                    raise ValueError(
+                        f"ORC schema mismatch in one scan: {f} differs from {sig_file}"
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([f] * len(keep), type=pa.string()),
+                        pa.array(keep, type=pa.int64()),
+                    ],
+                    names=["path", "stripe"],
+                )
+
+    return paths_df.mapInArrow(plan, "path string, stripe bigint")
 
 
 def read_orc(
@@ -265,9 +266,8 @@ def read_orc(
     predicates: list[tuple] | None = None
     if predicate is not None:
         predicates = [predicate] if isinstance(predicate, tuple) else list(predicate)
-    work = _plan_scan(spark, files, predicates)
+    tail0 = read_tail(files[0])
     if ddl is None:
-        tail0 = read_tail(files[0])
         root = tail0.footer.types[0]
         pairs = [
             (n, s) for n, s in zip(root.field_names, root.subtypes)
@@ -276,9 +276,16 @@ def read_orc(
         ddl = ", ".join(
             f"{n} {_orc_type_ddl(tail0.footer.types, s, scan=True)}" for n, s in pairs
         )
-    stripe_df = spark.createDataFrame(
-        [(f, int(i)) for f, i in work], "path string, stripe bigint"
-    ).repartition(scan_partitions(len(work), spark.sparkContext.defaultParallelism))
+    par = spark.sparkContext.defaultParallelism
+    if len(files) > DISTRIBUTED_PLAN_THRESHOLD:
+        stripe_df = _plan_scan_distributed(
+            spark, files, predicates, _schema_sig(tail0), files[0]
+        ).repartition(4 * max(1, par))
+    else:
+        work = _plan_scan_threaded(files, predicates)
+        stripe_df = spark.createDataFrame(
+            [(f, int(i)) for f, i in work], "path string, stripe bigint"
+        ).repartition(scan_partitions(len(work), par))
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         readers: dict[str, OrcFileReader] = {}
