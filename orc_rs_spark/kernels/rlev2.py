@@ -350,11 +350,14 @@ def rlev2_encode(
         inc = np.add.reduceat(~dge, rstart) == 0
         dec = np.add.reduceat(~dle, rstart) == 0
         first_d = d[np.minimum(starts, len(d) - 1)]
-        # |delta| widths excluding each frame's first diff and boundary diffs
-        dmag_bls = bit_lengths(np.abs(d).view(np.uint64))  # view: same bits, no copy
-        dmag_bls[bpos] = 0
-        dmag_bls[np.minimum(starts, len(d) - 1)] = 0
-        delta_w = np.maximum.reduceat(dmag_bls, rstart)
+        # |delta| widths excluding each frame's first diff and boundary
+        # diffs. bit_length is monotonic over uint64, so max-reduce the
+        # VALUES per frame and bit-length the k-element result — one
+        # whole-array pass (abs) instead of the full bit_lengths kernel
+        dmag = np.abs(d).view(np.uint64)
+        dmag[bpos] = 0
+        dmag[np.minimum(starts, len(d) - 1)] = 0
+        delta_w = bit_lengths(np.maximum.reduceat(dmag, rstart))
         single = seg_lens == 1
         inc[single] = True
         dec[single] = True
@@ -367,7 +370,8 @@ def rlev2_encode(
     )
     mono = (inc | (dec & (first_d != 0))) & safe_range & ~const
     u_all = _as_unsigned(v, signed)
-    zz_w = np.maximum.reduceat(bit_lengths(u_all), starts)
+    # same monotonicity trick: bit-length the per-frame MAX, not the array
+    zz_w = bit_lengths(np.maximum.reduceat(u_all, starts))
     adj_all = v.view(np.uint64) - np.repeat(mins, seg_lens).view(np.uint64)
     abls = bit_lengths(adj_all)
     fw = np.maximum.reduceat(abls, starts)
