@@ -1088,6 +1088,29 @@ def rt_generic_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_ivf_indexed",
+    """
+    SELECT e.vec_id AS vec_id FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+    WHERE e.vec_id != 0
+    ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index: vectors re-written PARTITIONED BY cluster id,
+    so the nprobe inverted lists are a partition-pruned parquet scan at
+    query time — the 100 TB ANN layout. Probing every list (nprobe ==
+    n_clusters) is loss-free by construction, so the oracle is the exact
+    cosine top-k; partition pruning itself is pytest-asserted via the
+    physical plan's PartitionFilters."""
+    from orc_rs_spark.textops.similarity import ann_topk_ivf_indexed, ivf_build_index
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("ivf_index")
+    ivf_build_index(emb.where(F.col("vec_id") != 0), idx, n_clusters=8)
+    return ann_topk_ivf_indexed(spark, idx, _query_vec(spark, sf_dir), k=10, nprobe=8)
+
+
+@register(
     "rt_orc_wire_decimal",
     "SELECT CAST(CAST(CAST(l_orderkey AS VARCHAR) || '1234567890.1234567891' "
     "AS DECIMAL(38,10)) AS VARCHAR) AS amount FROM lineitem",
@@ -1135,6 +1158,7 @@ def rt_orc_wire_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All 56 still run in pytest (tests/test_driver_contract.py parametrizes
 # over every entry), so nothing loses CI evidence — only gate slots.
 _GATE_TAIL = [
+    "rt_raw",  # identity passthrough codec; dispatch is exercised by every chunk query
     "multimodal_meta",  # stub-tier twin: multimodal_real_meta checks exact payload bytes
     "dedup_simhash",
     "dedup_jaccard_exact",

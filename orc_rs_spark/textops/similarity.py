@@ -208,6 +208,57 @@ def ann_topk_ivf(
     return cosine_topk(sub, query_vec, k)
 
 
+def ivf_build_index(
+    embeddings: DataFrame, path: str, n_clusters: int = 16, dim: int = 64,
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist an IVF index: vectors re-written PARTITIONED BY cluster id
+    (``path``/vectors/cluster=<c>/...) plus a tiny centroids table. This is
+    the 100 TB ANN layout — a query's nprobe inverted lists become a
+    partition-pruned scan (Spark reads only the probed directories; no
+    per-row filtering, no assignment recompute, no shuffle at query time).
+    Build cost: one k-means over a bounded sample + ONE full scan + one
+    partitioned write. Returns the centroids."""
+    cent = ivf_centroids(embeddings, n_clusters=n_clusters, dim=dim, seed=seed)
+    assigned = ivf_assign(embeddings, cent, dim=dim)
+    vecs = embeddings.join(assigned, "vec_id").select("vec_id", "embedding", "cluster")
+    # one output file per cluster partition: the inverted lists stay
+    # contiguous (at 100 TB raise this with a cluster+hash repartition)
+    vecs.repartition("cluster").write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/vectors"
+    )
+    spark = embeddings.sparkSession
+    cent_rows = [(int(c), [float(x) for x in cent[c]]) for c in range(len(cent))]
+    spark.createDataFrame(cent_rows, "cluster int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cent
+
+
+def ann_topk_ivf_indexed(
+    spark, index_path: str, query_vec: list[float], k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index (see :func:`ivf_build_index`): pick the
+    ``nprobe`` centroids nearest the query from the tiny centroids table,
+    then scan ONLY those cluster partitions (Spark partition pruning —
+    the plan's PartitionFilters carries ``cluster IN (...)``) and exact-
+    rerank within them. Per-query cost scales with nprobe/n_clusters of
+    the corpus, not the corpus."""
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])), dtype=np.float64)
+    for r in cent_rows:
+        cent[int(r["cluster"])] = r["centroid"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probes = [int(c) for c in np.argsort(-(cent @ q))[: max(1, nprobe)]]
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    sub = vecs.where(F.col("cluster").isin(probes))  # partition-pruned scan
+    return cosine_topk(sub.select("vec_id", "embedding"), query_vec, k)
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -380,3 +380,38 @@ def test_multimodal_synthesis_matches_scalar_codecs_and_buckets():
     n_wav_buckets = len({int(64 + nc % 129) for i, nc in zip(ids, ncs) if i % 2 == 1})
     assert calls["bmp"] == n_bmp_buckets < n / 2
     assert calls["wav"] == n_wav_buckets < n / 2
+
+
+@pytest.mark.spark
+def test_ivf_persisted_index_partition_pruned(spark, tmp_path):
+    """The persisted IVF layout must (a) return the exact top-k when every
+    list is probed, (b) reach the parquet scan as a PARTITION filter on
+    cluster (pruned directories, not row filtering), and (c) at
+    nprobe=1 read a strict subset of partitions."""
+    from orc_rs_spark.textops.similarity import (
+        ann_topk_ivf_indexed,
+        cosine_topk,
+        ivf_build_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    corpus = emb.where("vec_id != 0")
+    idx = str(tmp_path / "ivf")
+    cent = ivf_build_index(corpus, idx, n_clusters=8)
+    assert cent.shape[0] == 8
+    # all-probe == exact
+    got = [r["vec_id"] for r in ann_topk_ivf_indexed(spark, idx, list(q), k=10, nprobe=8).collect()]
+    want = [r["vec_id"] for r in cosine_topk(corpus, list(q), k=10).collect()]
+    assert got == want
+    # the probe is partition pruning, visible in the physical plan
+    sub = spark.read.parquet(f"{idx}/vectors").where("cluster IN (3, 5)")
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200]
+    # nprobe=1 scans fewer rows than the corpus (subset partitions)
+    one = ann_topk_ivf_indexed(spark, idx, list(q), k=10, nprobe=1)
+    n_probed = spark.read.parquet(f"{idx}/vectors").where(
+        f"cluster = {int(np.argmax(cent @ (np.array(q) / np.linalg.norm(q))))}"
+    ).count()
+    assert 0 < n_probed < corpus.count()
+    assert len(one.collect()) == 10
