@@ -87,3 +87,59 @@ def test_width_tables():
     assert closest_delta_width(0) == 0
     assert closest_delta_width(1) == 2
     assert closest_delta_width(25) == 26
+
+
+def test_murmur3_hash64_many_matches_scalar():
+    """Vectorized murmur3 across variable-length strings == the scalar
+    reference on every value (empties, 8-byte boundaries, long keys)."""
+    import random
+
+    from orc_rs_spark.kernels.orc_bloom import murmur3_hash64, murmur3_hash64_many
+
+    random.seed(3)
+    strs = [b""] + [
+        bytes(random.getrandbits(8) for _ in range(random.choice(
+            [1, 2, 3, 7, 8, 9, 15, 16, 17, 31, 100, 1000])))
+        for _ in range(1500)
+    ]
+    payload = b"".join(strs)
+    lengths = np.array([len(s) for s in strs], dtype=np.int64)
+    starts = np.zeros(len(strs), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    buf = np.frombuffer(payload + b"\x00" * 7, dtype=np.uint8)
+    got = murmur3_hash64_many(buf, starts, lengths)
+    want = np.array([murmur3_hash64(s) for s in strs], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_varint_zigzag128_roundtrip_property():
+    """128-bit zigzag varint decode vs a python-int reference encoder:
+    sign/boundary values plus random i128s, exact word-pair layout."""
+    import random
+
+    from orc_rs_spark.kernels.varint import varint_decode_zigzag128
+
+    def enc(v: int) -> bytes:
+        u = (v << 1) ^ (v >> 200)  # arithmetic shift: all-ones for negatives
+        out = bytearray()
+        while True:
+            byte = u & 0x7F
+            u >>= 7
+            out.append(byte | 0x80 if u else byte)
+            if not u:
+                return bytes(out)
+
+    random.seed(9)
+    vals = [0, 1, -1, 63, -64, 2**63 - 1, -(2**63), 2**64, -(2**64),
+            2**126, -(2**126), 10**37, -(10**37)]
+    vals += [random.randint(-(2**126), 2**126) for _ in range(2000)]
+    buf = b"".join(enc(v) for v in vals)
+    lo, hi, consumed = varint_decode_zigzag128(buf, len(vals))
+    assert consumed == len(buf)
+    dec = [(int(h) << 64) | int(l) for l, h in zip(lo, hi)]
+    dec = [d - (1 << 128) if d >= (1 << 127) else d for d in dec]
+    assert dec == vals
+    with pytest.raises(ValueError):
+        varint_decode_zigzag128(bytes([0x80] * 20 + [0x01]), 1)  # >128 bits
+    with pytest.raises(ValueError):
+        varint_decode_zigzag128(bytes([0x80, 0x80]), 1)  # truncated
