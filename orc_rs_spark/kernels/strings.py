@@ -32,6 +32,25 @@ def _uvarint(x: int) -> bytes:
     return varint_encode(np.array([x], dtype=np.uint64))
 
 
+def arrow_string_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(absolute starts, lengths, uint8 data buffer VIEW) of a
+    string/binary array — no payload copy (unlike
+    :func:`arrow_string_parts`, which materializes the bytes)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        odt = np.int64
+    elif pa.types.is_string(t) or pa.types.is_binary(t):
+        odt = np.int32
+    else:
+        raise TypeError(f"not a string/binary array: {t}")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    dbuf = arr.buffers()[2]
+    data = np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None else np.empty(0, np.uint8)
+    return offsets[:-1].astype(np.int64), np.diff(offsets).astype(np.int64), data
+
+
 def arrow_string_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     """(lengths int64 array, concatenated utf8 bytes) from a string array."""
     if isinstance(arr, pa.ChunkedArray):

@@ -262,18 +262,38 @@ def _stats_overlap(st: proto.ColumnStatistics, lo, hi) -> bool:
         return True
 
 
-def _bloom_test(bloom, value) -> bool:
-    """Type-dispatched bloom probe matching the Java writer's hashing:
-    ints (and dates as ints) via the Thomas Wang mix, floats via
-    doubleToLongBits -> long hash, strings/bytes via Murmur3 hash64."""
+def _bloom_test(bloom, value, kind: str | None = None) -> bool:
+    """Bloom probe matching the Java writer's hashing, dispatched by the
+    COLUMN kind (the writer hashed by column type, so the probe value must
+    be coerced the same way — an int probe against a double column's bloom
+    must hash doubleToLongBits(float(v)), not ThomasWang(v)); falls back
+    to python-type dispatch when the kind is unknown. Ints/dates via the
+    Thomas Wang mix, floats via doubleToLongBits -> long hash,
+    strings/bytes via Murmur3 hash64."""
+    import datetime as _dt
     import struct as _s
 
     if isinstance(value, bool):
         return True  # boolean columns carry no blooms
+    if kind in ("float", "double"):
+        if isinstance(value, (int, float, np.integer, np.floating)):
+            value = float(value)
+        else:
+            return True
+    elif kind in ("byte", "short", "int", "long"):
+        if isinstance(value, (float, np.floating)):
+            if not float(value).is_integer():
+                return True  # non-integral value can't be in an int column
+            value = int(value)
+    elif kind == "date":
+        if isinstance(value, _dt.datetime):
+            value = value.date()
+        if isinstance(value, _dt.date):
+            value = (value - _dt.date(1970, 1, 1)).days
     if isinstance(value, (int, np.integer)):
         return bloom.test_long(int(value))
-    if isinstance(value, float):
-        return bloom.test_long(_s.unpack("<q", _s.pack("<d", value))[0])
+    if isinstance(value, (float, np.floating)):
+        return bloom.test_long(_s.unpack("<q", _s.pack("<d", float(value)))[0])
     if isinstance(value, str):
         return bloom.test_bytes(value.encode("utf-8"))
     if isinstance(value, (bytes, bytearray)):
@@ -1059,9 +1079,10 @@ class OrcFileReader:
         ]
         col_blooms = blooms.get(col_id)
         if lo == hi and col_blooms is not None and len(col_blooms) == n_groups:
+            kind = self.tail.footer.types[col_id].kind
             keep = [
                 g for g in keep
-                if col_blooms[g] is None or _bloom_test(col_blooms[g], lo)
+                if col_blooms[g] is None or _bloom_test(col_blooms[g], lo, kind)
             ]
         return keep
 

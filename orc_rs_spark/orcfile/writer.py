@@ -790,14 +790,16 @@ class OrcWriter:
                         bf.add_doubles(dense.to_numpy(zero_copy_only=False))
                     else:
                         # hash straight from the Arrow offsets/payload
-                        # buffers — no per-value python objects
-                        from orc_rs_spark.kernels.strings import arrow_string_parts
+                        # buffers — no per-value python objects, one
+                        # slice copy (for the 7-byte tail-gather slack)
+                        from orc_rs_spark.kernels.strings import arrow_string_views
 
-                        lengths, payload = arrow_string_parts(dense)
-                        starts = np.zeros(len(lengths), dtype=np.int64)
-                        np.cumsum(lengths[:-1], out=starts[1:])
-                        buf = np.frombuffer(payload + b"\x00" * 7, dtype=np.uint8)
-                        bf.add_string_parts(buf, starts, lengths)
+                        starts, lengths, data = arrow_string_views(dense)
+                        begin = int(starts[0]) if len(starts) else 0
+                        end = int(starts[-1] + lengths[-1]) if len(starts) else 0
+                        buf = np.zeros(end - begin + 7, dtype=np.uint8)
+                        buf[: end - begin] = data[begin:end]
+                        bf.add_string_parts(buf, starts - begin, lengths)
                     body += _field_bytes(1, bf.to_proto_body())
                 bloom_streams[col] = (
                     block_compress(body, self.compression) if comp else body

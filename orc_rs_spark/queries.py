@@ -1141,10 +1141,10 @@ def rt_orc_wire_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------- gate ordering
-# The driver's correctness gate runs the FIRST 50 registered queries; with
-# 56 registered, six would silently fall out in file order (round 3 lost
-# the whole rt_generic_* block this way). Re-insert so the tail holds only
-# queries whose evidence is redundant with an earlier fully-oracled entry:
+# The driver's correctness gate runs the FIRST 50 registered queries; any
+# beyond that silently fall out in file order (round 3 lost the whole
+# rt_generic_* block this way). Re-insert so the tail holds only queries
+# whose evidence is redundant with an earlier fully-oracled entry:
 #   - dedup_jaccard_exact / dedup_embedding_cosine / dedup_embedding_blocked:
 #     quarantined quadratic oracles whose EXACT pair sets are already
 #     hash-gated via dedup_minhash_lsh / dedup_embedding_lsh (same oracle
@@ -1169,8 +1169,20 @@ _GATE_TAIL = [
 ]
 
 
+GATE_SLOTS = 50
+
+
 def _reorder_gate_tail() -> None:
     head = [k for k in QUERIES if k not in _GATE_TAIL]
+    if len(head) > GATE_SLOTS:
+        # fail LOUDLY at import: a silent overflow would drop the newest
+        # fully-oracled queries from the driver gate (the exact round-3
+        # regression this block exists to prevent)
+        raise RuntimeError(
+            f"{len(head)} gate-head queries for {GATE_SLOTS} gate slots — "
+            f"move {len(head) - GATE_SLOTS} evidence-redundant entries into "
+            f"_GATE_TAIL (head: {head})"
+        )
     order = head + [k for k in _GATE_TAIL if k in QUERIES]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in order if k in mapping}

@@ -126,24 +126,24 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     raise ValueError("WAV data chunk not found")
 
 
-def _string_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(starts, lengths, data bytes) of a string/binary Arrow array —
-    buffer views, no python objects."""
-    odt = np.int64 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else np.int32
-    off = np.frombuffer(arr.buffers()[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return off[:-1].astype(np.int64), np.diff(off).astype(np.int64), data
+from orc_rs_spark.kernels.strings import arrow_string_views as _string_parts
 
 
 def _tile_bytes(tdata: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                 length: int) -> np.ndarray:
     """(k, length) uint8: each row's source bytes cycled to ``length``
     (np.resize semantics), one gather for the whole bucket. Zero-length
-    sources tile to zeros, matching np.resize."""
+    sources tile to zeros, matching np.resize — an empty row at the END
+    of the buffer has start == len(tdata), so it is repointed at a valid
+    byte before the gather and zeroed after."""
+    empty = lens == 0
+    if len(tdata) == 0:
+        return np.zeros((len(starts), length), dtype=np.uint8)
     safe = np.maximum(lens, 1)
-    idx = starts[:, None] + (np.arange(length)[None, :] % safe[:, None])
+    s = np.where(empty, 0, starts)
+    idx = s[:, None] + (np.arange(length)[None, :] % safe[:, None])
     out = tdata[idx]
-    out[lens == 0] = 0
+    out[empty] = 0
     return out
 
 
@@ -297,6 +297,8 @@ def extract_features(media: DataFrame) -> DataFrame:
 
             bi = np.flatnonzero(is_bmp)
             if len(bi):
+                if int(lens[bi].min()) < 54:
+                    raise ValueError("not a BMP payload")  # shorter than the header
                 s = starts[bi]
                 if not (
                     (pdata[s] == ord("B")) & (pdata[s + 1] == ord("M"))
@@ -309,6 +311,17 @@ def extract_features(media: DataFrame) -> DataFrame:
                 compz = _le32_at(pdata, s + 30)
                 if ((bpp != 24) | (compz != 0)).any():
                     raise ValueError("only 24-bit uncompressed BMP supported")
+                # declared geometry must fit INSIDE its own payload — a lying
+                # header would otherwise gather bytes from neighboring rows'
+                # payloads in the shared batch buffer (silent wrong features)
+                # or run off the buffer end. Cap dims first so the size
+                # product can't overflow int64 (top-down BMPs store height
+                # as a huge unsigned value and are rejected here too).
+                if ((ws <= 0) | (hs <= 0) | (ws > 1 << 16) | (hs > 1 << 16)).any():
+                    raise ValueError("unsupported BMP dimensions")
+                need = off + ((3 * ws + 3) // 4 * 4) * hs
+                if (need > lens[bi]).any():
+                    raise ValueError("truncated BMP payload")
                 widths[bi] = ws
                 heights[bi] = hs
                 for w, h, o in {(int(a), int(c), int(d)) for a, c, d in zip(ws, hs, off)}:
@@ -326,6 +339,8 @@ def extract_features(media: DataFrame) -> DataFrame:
 
             wi = np.flatnonzero(is_wav)
             if len(wi):
+                if int(lens[wi].min()) < 44:
+                    raise ValueError("not a WAV payload")  # shorter than the header
                 s = starts[wi]
                 sig_ok = np.ones(len(wi), dtype=bool)
                 for j, ch in enumerate(b"RIFF"):
@@ -344,6 +359,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                 dstart = np.zeros(len(wi), dtype=np.int64)
                 nsamps[canon] = _le32_at(pdata, s[canon] + 40).astype(np.int64) // 2
                 dstart[canon] = s[canon] + 44
+                # declared data size must fit inside its own payload (see
+                # the BMP check above for why)
+                if (44 + 2 * nsamps[canon] > lens[wi][canon]).any():
+                    raise ValueError("truncated WAV payload")
                 for j in np.flatnonzero(~canon):
                     # non-canonical chunk layout: scalar walk, inline RMS
                     row = wi[j]

@@ -150,6 +150,17 @@ def ivf_centroids(
     return cent
 
 
+def _select_probes(centroids: np.ndarray, query_vec, nprobe: int) -> list[int]:
+    """Cluster ids of the ``nprobe`` centroids nearest the (normalized)
+    query — shared by the in-memory and persisted-index IVF paths so the
+    probe choice can never drift between them."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    return [int(c) for c in np.argsort(-(centroids @ q))[: max(1, nprobe)]]
+
+
 def ivf_assign(embeddings: DataFrame, centroids: np.ndarray, dim: int = 64) -> DataFrame:
     """One scan assigning every vector to its nearest centroid (batch
     matmul inside mapInArrow; centroids ride the closure — a few KB)."""
@@ -197,12 +208,7 @@ def ann_topk_ivf(
         centroids = ivf_centroids(embeddings, n_clusters=n_clusters, dim=dim, seed=seed)
     if assignments is None:
         assignments = ivf_assign(embeddings, centroids, dim=dim)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q)
-    if qn > 0:
-        q = q / qn
-    order = np.argsort(-(centroids @ q))[: max(1, nprobe)]
-    probes = [int(c) for c in order]
+    probes = _select_probes(centroids, query_vec, nprobe)
     cand = assignments.where(F.col("cluster").isin(probes)).select("vec_id")
     sub = embeddings.join(F.broadcast(cand), "vec_id")
     return cosine_topk(sub, query_vec, k)
@@ -249,11 +255,7 @@ def ann_topk_ivf_indexed(
     cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])), dtype=np.float64)
     for r in cent_rows:
         cent[int(r["cluster"])] = r["centroid"]
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q)
-    if qn > 0:
-        q = q / qn
-    probes = [int(c) for c in np.argsort(-(cent @ q))[: max(1, nprobe)]]
+    probes = _select_probes(cent, query_vec, nprobe)
     vecs = spark.read.parquet(f"{index_path}/vectors")
     sub = vecs.where(F.col("cluster").isin(probes))  # partition-pruned scan
     return cosine_topk(sub.select("vec_id", "embedding"), query_vec, k)

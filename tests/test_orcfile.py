@@ -1618,3 +1618,29 @@ def test_union_positional_group_decode(tmp_path):
         [b for i in range(2) for b in r.read_stripe_batches(i, batch_rows=1500)]
     )
     assert got_all.column("u").to_pylist() == tbl.column("u").to_pylist()
+
+
+def test_bloom_probe_coerces_by_column_kind(tmp_path):
+    """An INT point predicate against a double column's bloom must hash
+    doubleToLongBits(float(v)) like the writer did — round-4 review bug:
+    the python-type dispatch silently pruned groups containing the value."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    v = np.arange(2000, dtype=np.float64)  # integral doubles: 0.0, 1.0, ...
+    p = str(tmp_path / "fb.orc")
+    write_orc(pa.table({"d": pa.array(v)}), p, compression="zlib",
+              stripe_rows=2000, row_index_stride=1000, bloom_columns=["d"])
+    r = OrcFileReader(p)
+    assert r.prune_row_groups(0, "d", 5, 5) == [0]          # int probe
+    assert r.prune_row_groups(0, "d", 1500.0, 1500.0) == [1]  # float probe
+    # float probe against an INT column's bloom: integral coerces, a
+    # non-integral value provably can't match but must not crash
+    p2 = str(tmp_path / "ib.orc")
+    write_orc(pa.table({"i": pa.array(np.arange(2000, dtype=np.int64))}), p2,
+              compression="zlib", stripe_rows=2000, row_index_stride=1000,
+              bloom_columns=["i"])
+    r2 = OrcFileReader(p2)
+    assert r2.prune_row_groups(0, "i", 7.0, 7.0) == [0]
+    assert r2.prune_row_groups(0, "i", 7.5, 7.5) in ([], [0])  # stats may keep

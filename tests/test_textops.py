@@ -415,3 +415,65 @@ def test_ivf_persisted_index_partition_pruned(spark, tmp_path):
     ).count()
     assert 0 < n_probed < corpus.count()
     assert len(one.collect()) == 10
+
+
+def test_multimodal_empty_and_hostile_payloads():
+    """Round-4 review bugs: an empty text as the batch's LAST row must not
+    index past the buffer, and a lying BMP/WAV header must raise instead
+    of silently pooling bytes from a NEIGHBORING row's payload."""
+    import pyarrow as pa
+
+    from orc_rs_spark.textops import multimodal as mm
+
+    # empty trailing text: payload must match the scalar codec on zeros
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([0, 2], type=pa.int64()), pa.array(["hello", ""]),
+         pa.array([5, 0], type=pa.int64())],
+        names=["doc_id", "text", "n_chars"],
+    )
+    out = mm.synthesize_media_batch(batch)
+    want = mm.make_bmp(np.zeros((8, 8), dtype=np.uint8))
+    assert out.column("payload")[1].as_py() == want
+    # all-empty batch (zero-length data buffer)
+    b2 = pa.RecordBatch.from_arrays(
+        [pa.array([0], type=pa.int64()), pa.array([""]), pa.array([0], type=pa.int64())],
+        names=["doc_id", "text", "n_chars"],
+    )
+    assert mm.synthesize_media_batch(b2).column("n_bytes")[0].as_py() == len(want)
+
+    # hostile BMP header: declared geometry larger than the payload
+    good = mm.make_bmp(np.zeros((8, 8), dtype=np.uint8))
+    lying = bytearray(good)
+    lying[22:26] = (1000).to_bytes(4, "little")  # height 1000, same bytes
+    fx = mm.extract_features.__wrapped__ if hasattr(mm.extract_features, "__wrapped__") else None
+    # drive the mapInArrow body through a direct call path
+    med = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2], type=pa.int64()),
+         pa.array([good, bytes(lying)], type=pa.binary()),
+         pa.array(["image/bmp", "image/bmp"])],
+        names=["doc_id", "payload", "media_type"],
+    )
+
+    class _Cap:
+        def mapInArrow(self, fn, ddl):
+            self.fn = fn
+            return self
+
+    cap = _Cap()
+    mm.extract_features(cap)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated BMP"):
+        list(cap.fn(iter([med])))
+    # truncated WAV data chunk
+    wav = bytearray(mm.make_wav(np.zeros(64, dtype=np.int16)))
+    wav[40:44] = (10**6).to_bytes(4, "little")  # data size lies
+    med2 = pa.RecordBatch.from_arrays(
+        [pa.array([1], type=pa.int64()), pa.array([bytes(wav)], type=pa.binary()),
+         pa.array(["audio/wav"])],
+        names=["doc_id", "payload", "media_type"],
+    )
+    cap2 = _Cap()
+    mm.extract_features(cap2)
+    with _pytest.raises(ValueError, match="truncated WAV"):
+        list(cap2.fn(iter([med2])))
