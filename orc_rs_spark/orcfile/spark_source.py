@@ -333,13 +333,22 @@ def write_orc_dir(
     def sink(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        final = f"{out_dir}/part-{pid:05d}.orc"
+        # task-commit protocol: write to an attempt-unique temp name and
+        # atomically rename on success. A retried or speculative attempt
+        # can then never interleave bytes into a half-written final file,
+        # failed attempts leave only ignorable temp files (read_orc globs
+        # *.orc), and duplicate successful attempts last-win with
+        # identical content (the encode is deterministic per partition).
+        tmp = f"{final}.inprogress-{attempt}"
         writer: OrcWriter | None = None
         for b in batches:
             if b.num_rows == 0:
                 continue
             if writer is None:
                 writer = OrcWriter(
-                    f"{out_dir}/part-{pid:05d}.orc", b.schema,
+                    tmp, b.schema,
                     compression=compression, stripe_rows=stripe_rows,
                     row_index_stride=row_index_stride, bloom_columns=bloom_columns,
                 )
@@ -348,6 +357,7 @@ def write_orc_dir(
         if writer is not None:
             writer.close()
             n = writer.num_rows
+            os.replace(tmp, final)
         yield pa.RecordBatch.from_arrays([pa.array([n], type=pa.int64())], names=["n_rows"])
 
     out = df.mapInArrow(sink, "n_rows bigint").agg(F.sum("n_rows").alias("n")).collect()

@@ -1644,3 +1644,29 @@ def test_bloom_probe_coerces_by_column_kind(tmp_path):
     r2 = OrcFileReader(p2)
     assert r2.prune_row_groups(0, "i", 7.0, 7.0) == [0]
     assert r2.prune_row_groups(0, "i", 7.5, 7.5) in ([], [0])  # stats may keep
+
+
+@pytest.mark.spark
+def test_write_orc_dir_task_commit_protocol(spark, tmp_path):
+    """Sinks write attempt-unique temp names and atomically rename on
+    success: no .inprogress files survive a clean job, and stale temp
+    files from failed/speculative attempts are invisible to read_orc."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = spark.range(0, 1000).selectExpr("id AS a", "id * 2 AS b")
+    out = str(tmp_path / "commit")
+    n = write_orc_dir(df.repartition(3), out)
+    assert n == 1000
+    import glob as g
+    import os
+
+    names = sorted(os.path.basename(p) for p in g.glob(f"{out}/*"))
+    assert all(x.endswith(".orc") for x in names), names
+    # plant a stale temp file from a hypothetical failed attempt
+    with open(f"{out}/part-00000.orc.inprogress-99", "wb") as f:
+        f.write(b"garbage not orc")
+    back = read_orc(spark, out)
+    assert back.count() == 1000
+    assert back.agg({"a": "sum"}).collect()[0][0] == 499500
