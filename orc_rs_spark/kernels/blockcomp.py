@@ -27,16 +27,26 @@ def _inflate(data: bytes) -> bytes:
     return zlib.decompress(data, wbits=-15)
 
 
-def block_compress(data: bytes, codec: str = "zlib", level: int = 6) -> bytes:
-    """Frame ``data`` into compressed blocks; keeps originals when smaller."""
+def block_compress(data: bytes, codec: str = "zlib", level: int = 6,
+                   max_block: int | None = None) -> bytes:
+    """Frame ``data`` into compressed blocks; keeps originals when smaller.
+
+    ``max_block`` caps the DECOMPRESSED block size below the format's
+    8 MiB header limit — pass the file's declared compressionBlockSize
+    when appending sections to a foreign file (readers may size their
+    buffers from that declaration). For snappy/lz4/zstd (decodable here
+    but with no encoder in this environment) every block is emitted via
+    the is-original escape, which is codec-independent in the ORC
+    framing — byte-valid output, no size win."""
     if codec == "none":
         return data
-    if codec != "zlib":
+    if codec not in ("zlib", "snappy", "lz4", "zstd"):
         raise ValueError(f"codec {codec!r} unavailable in this environment")
+    cap = MAX_BLOCK if max_block is None else min(MAX_BLOCK, max_block)
     out: list = []
-    for i in range(0, len(data), MAX_BLOCK):
-        block = data[i : i + MAX_BLOCK]
-        comp = _deflate(block, level)
+    for i in range(0, len(data), cap):
+        block = data[i : i + cap]
+        comp = _deflate(block, level) if codec == "zlib" else block
         if len(comp) < len(block):
             header = (len(comp) << 1) | 0
             out.append(header.to_bytes(3, "little"))

@@ -1140,6 +1140,42 @@ def rt_orc_wire_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.select(F.col("amount").cast("string").alias("amount"))
 
 
+@register(
+    "orc_merge_compact",
+    """
+    WITH b AS (SELECT (MAX(o_orderkey) * 2) // 5 AS lo,
+                      (MAX(o_orderkey) * 2) // 5 + MAX(o_orderkey) // 25 AS hi
+               FROM orders)
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders, b WHERE o_orderkey BETWEEN b.lo AND b.hi
+    """,
+)
+def q_orc_merge_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction on the wire: orders lands as FOUR sorted
+    part files, compact_orc_dir merges them by raw stripe relocation (no
+    re-encode — ORC Java's OrcFile.mergeFiles semantics, which the
+    read-only reference has no analogue for), and the merged file is
+    then read back with a two-tier-pruned point-range scan. Green means
+    stripes survived relocation byte-exact AND the rebuilt
+    Metadata/ROW_INDEX geometry still prunes correctly — the predicate
+    (40%..44% of the key space) lands mid-file at every sf."""
+    from orc_rs_spark.orcfile.merge import compact_orc_dir
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = _pq(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("total")
+    ).repartitionByRange(4, "o_orderkey").sortWithinPartitions("o_orderkey")
+    small = _scratch_dir("orc_merge_small")
+    write_orc_dir(df, small, compression="zlib", stripe_rows=8192,
+                  row_index_stride=512)
+    merged = _scratch_dir("orc_merge_compacted")
+    compact_orc_dir(spark, small, merged, target_bytes=1 << 40)  # one output file
+    mx = int(df.agg(F.max("o_orderkey")).first()[0])
+    lo, hi = (mx * 2) // 5, (mx * 2) // 5 + mx // 25
+    scan = read_orc(spark, merged, predicate=("o_orderkey", lo, hi))
+    return scan.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+
+
 # ---------------------------------------------------------- gate ordering
 # The driver's correctness gate runs the FIRST 50 registered queries; any
 # beyond that silently fall out in file order (round 3 lost the whole
@@ -1158,6 +1194,7 @@ def rt_orc_wire_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All 56 still run in pytest (tests/test_driver_contract.py parametrizes
 # over every entry), so nothing loses CI evidence — only gate slots.
 _GATE_TAIL = [
+    "rt_str_dict_fsst",  # dict∘fsst composition; both factors gated alone
     "rt_raw",  # identity passthrough codec; dispatch is exercised by every chunk query
     "multimodal_meta",  # stub-tier twin: multimodal_real_meta checks exact payload bytes
     "dedup_simhash",

@@ -1,0 +1,187 @@
+"""Stripe-level ORC merge / compaction (orcfile.merge).
+
+The merged file must be a first-class ORC file: readable by our reader
+AND Spark's JVM reader, stripe statistics preserved byte-meaningfully
+(pruning still works), refusals on schema/codec/stride mismatch.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_rs_spark.orcfile.errors import OrcFormatError
+from orc_rs_spark.orcfile.merge import merge_orc_files, plan_compaction
+from orc_rs_spark.orcfile.reader import OrcFileReader, read_stripe_statistics, read_tail
+from orc_rs_spark.orcfile.writer import write_orc
+
+_N = 3000
+
+
+def _tbl(lo: int, n: int) -> pa.Table:
+    rng = np.random.default_rng(lo)
+    keys = np.arange(lo, lo + n, dtype=np.int64)
+    return pa.table({
+        "k": keys,
+        "v": rng.integers(0, 1000, n).astype(np.int32),
+        "s": pa.array([f"row-{i:07d}" for i in keys], type=pa.string()),
+    })
+
+
+def _parts(tmp_path, n_files=3, **kw):
+    paths, tables = [], []
+    for i in range(n_files):
+        t = _tbl(i * _N, _N)
+        p = str(tmp_path / f"part-{i}.orc")
+        write_orc(t, p, stripe_rows=700, **kw)
+        paths.append(p)
+        tables.append(t)
+    return paths, pa.concat_tables(tables)
+
+
+def test_merge_roundtrip_own_reader(tmp_path):
+    paths, expect = _parts(tmp_path)
+    out = str(tmp_path / "merged.orc")
+    n = merge_orc_files(paths, out)
+    assert n == len(expect)
+    got = OrcFileReader(out).read_all().combine_chunks()
+    assert got.cast(expect.schema).equals(expect.combine_chunks())
+
+
+def test_merge_preserves_stripe_statistics(tmp_path):
+    """Metadata section = concatenation of the inputs' StripeStatistics:
+    stats survive relocation value-exact, in stripe order."""
+    paths, _ = _parts(tmp_path)
+    out = str(tmp_path / "merged.orc")
+    merge_orc_files(paths, out)
+    merged = read_stripe_statistics(out)
+    parts = [s for p in paths for s in read_stripe_statistics(p)]
+    assert len(merged) == len(parts) > 3
+    assert merged == parts
+    # file-level stats merged across inputs
+    tail = read_tail(out)
+    k_stats = tail.footer.statistics[1]  # column ids: 0=struct, 1=k
+    assert (k_stats.int_min, k_stats.int_max) == (0, 3 * _N - 1)
+    assert k_stats.number_of_values == 3 * _N
+
+
+def test_merge_pruning_still_works(tmp_path):
+    """Stripe + row-group pruning over the merged file returns exactly
+    the rows a full scan filter would."""
+    paths, expect = _parts(tmp_path)
+    out = str(tmp_path / "merged.orc")
+    merge_orc_files(paths, out)
+    r = OrcFileReader(out)
+    tail = read_tail(out)
+    lo, hi = _N + 50, _N + 130  # inside file 2's key range
+    from orc_rs_spark.orcfile.reader import prune_stripes
+
+    keep = prune_stripes(out, "k", lo, hi)
+    assert 0 < len(keep) < len(tail.footer.stripes)
+    got = []
+    for s in keep:
+        groups = r.prune_row_groups(s, "k", lo, hi)
+        b = r.read_stripe(s, row_groups=groups)
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        got.extend(k[(k >= lo) & (k <= hi)].tolist())
+    assert sorted(got) == list(range(lo, hi + 1))
+
+
+def test_merge_rejects_mismatches(tmp_path):
+    t = _tbl(0, 100)
+    a = str(tmp_path / "a.orc")
+    write_orc(t, a)
+    # schema mismatch
+    b = str(tmp_path / "b.orc")
+    write_orc(t.rename_columns(["k", "v", "zzz"]), b)
+    with pytest.raises(OrcFormatError, match="schema mismatch"):
+        merge_orc_files([a, b], str(tmp_path / "out1.orc"))
+    # compression mismatch
+    c = str(tmp_path / "c.orc")
+    write_orc(t, c, compression="none")
+    with pytest.raises(OrcFormatError, match="compression mismatch"):
+        merge_orc_files([a, c], str(tmp_path / "out2.orc"))
+    # stride mismatch
+    d = str(tmp_path / "d.orc")
+    write_orc(t, d, row_index_stride=0)
+    with pytest.raises(OrcFormatError, match="rowIndexStride mismatch"):
+        merge_orc_files([a, d], str(tmp_path / "out3.orc"))
+
+
+def test_plan_compaction_consecutive_bins():
+    sizes = [("a", 10), ("b", 10), ("c", 25), ("d", 5), ("e", 40), ("f", 1)]
+    groups = plan_compaction(sizes, target_bytes=30)
+    assert groups == [["a", "b"], ["c", "d"], ["e"], ["f"]]
+    # oversized file still gets its own bin
+    assert plan_compaction([("big", 100)], 30) == [["big"]]
+    assert plan_compaction([], 30) == []
+
+
+@pytest.mark.spark
+def test_merged_file_read_by_spark_native(spark, tmp_path):
+    """The cross-engine proof for the merge path: Spark's JVM ORC reader
+    reads the merged file and sees the concatenation."""
+    paths, expect = _parts(tmp_path)
+    out = str(tmp_path / "merged_jvm.orc")
+    merge_orc_files(paths, out)
+    got = spark.read.orc(out).toArrow()
+    got = got.cast(expect.schema).sort_by("k").combine_chunks()
+    assert got.equals(expect.sort_by("k").combine_chunks())
+
+
+@pytest.mark.spark
+def test_merge_jvm_written_snappy_files(spark, tmp_path):
+    """Merging files our WRITER could not have produced (JVM, snappy):
+    stripes are copied verbatim whatever the codec; only the rebuilt
+    tail sections need codec handling (is-original framing)."""
+    src = str(tmp_path / "jvm_snappy")
+    spark.range(0, 20000).selectExpr(
+        "id AS k", "CAST(id % 97 AS INT) AS v", "CONCAT('s', id) AS s"
+    ).repartition(2).write.option("compression", "snappy").orc(src)
+    import glob
+
+    paths = sorted(glob.glob(f"{src}/*.orc"))
+    assert len(paths) == 2
+    out = str(tmp_path / "merged_snappy.orc")
+    n = merge_orc_files(paths, out)
+    assert n == 20000
+    ours = OrcFileReader(out).read_all().sort_by("k")
+    theirs = spark.read.orc(out).toArrow().cast(ours.schema).sort_by("k")
+    assert ours.combine_chunks().equals(theirs.combine_chunks())
+    assert ours.column("k").to_pylist() == list(range(20000))
+
+
+@pytest.mark.spark
+def test_compact_orc_dir(spark, tmp_path):
+    """Distributed compaction: many small parts -> few target-sized
+    files, identical data, readable by read_orc and the JVM."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from orc_rs_spark.orcfile.merge import compact_orc_dir
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = spark.range(0, 30000).selectExpr(
+        "id AS k", "CAST(id % 31 AS INT) AS v", "CONCAT('doc-', id) AS s"
+    )
+    small = str(tmp_path / "small")
+    write_orc_dir(df.repartition(8), small, compression="zlib")
+    n_small = len(glob.glob(f"{small}/*.orc"))
+    assert n_small == 8
+    total = sum(os.path.getsize(f) for f in glob.glob(f"{small}/*.orc"))
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_orc_dir(spark, small, compacted, target_bytes=total // 3 + 1)
+    assert n == 30000
+    n_big = len(glob.glob(f"{compacted}/*.orc"))
+    assert 1 < n_big < n_small
+
+    a = read_orc(spark, compacted).agg(
+        F.count("*").alias("n"), F.sum("k").alias("sk"), F.sum("v").alias("sv")
+    ).collect()[0]
+    b = df.agg(
+        F.count("*").alias("n"), F.sum("k").alias("sk"), F.sum("v").alias("sv")
+    ).collect()[0]
+    assert list(a) == list(b)
+    assert spark.read.orc(compacted).count() == 30000
