@@ -362,3 +362,276 @@ def write_orc_dir(
 
     out = df.mapInArrow(sink, "n_rows bigint").agg(F.sum("n_rows").alias("n")).collect()
     return int(out[0]["n"] or 0)
+
+
+# ------------------------------------------------------- schema evolution
+
+_INT_WIDEN = {"byte": 0, "short": 1, "int": 2, "long": 3}
+_FLT_WIDEN = {"float": 0, "double": 1}
+
+
+def _field_sig(types: list, col: int) -> tuple:
+    """Recursive signature of one column subtree:
+    (kind, precision, scale, maximum_length, field_names, children)."""
+    t = types[col]
+    return (t.kind, t.precision, t.scale, t.maximum_length, tuple(t.field_names),
+            tuple(_field_sig(types, s) for s in t.subtypes))
+
+
+def _file_fields(tail) -> list[tuple[str, tuple]]:
+    """Top-level (name, signature) pairs, file order."""
+    root = tail.footer.types[0]
+    return [
+        (n, _field_sig(tail.footer.types, s))
+        for n, s in zip(root.field_names, root.subtypes)
+    ]
+
+
+def _widen(a: tuple, b: tuple) -> tuple | None:
+    """The wider of two field signatures under ORC's name-based schema
+    evolution rules (same promotions ORC Java's SchemaEvolution allows
+    for reads): int kinds widen byte<short<int<long, float widens to
+    double, varchar/char lengths take the max; anything else — including
+    every nested shape — must match exactly. None = incompatible."""
+    if a == b:
+        return a
+    (ka, pa_, sa, la, na, ca), (kb, pb, sb, lb, nb, cb) = a, b
+    if not ca and not cb:
+        if ka in _INT_WIDEN and kb in _INT_WIDEN:
+            return a if _INT_WIDEN[ka] >= _INT_WIDEN[kb] else b
+        if ka in _FLT_WIDEN and kb in _FLT_WIDEN:
+            return a if _FLT_WIDEN[ka] >= _FLT_WIDEN[kb] else b
+        if ka == kb and ka in ("varchar", "char") and (pa_, sa, na) == (pb, sb, nb):
+            return a if la >= lb else b
+    return None
+
+
+def _merge_fields(per_file: list[tuple[str, list[tuple[str, tuple]]]]) -> list[tuple[str, tuple]]:
+    """Union of top-level fields across files, first-seen order, each
+    widened across every file that carries it. per_file: (path, fields).
+    Raises on an incompatible redefinition, naming both files."""
+    order: list[str] = []
+    merged: dict[str, tuple] = {}
+    first_file: dict[str, str] = {}
+    for f, fields in per_file:
+        for name, sig in fields:
+            if name not in merged:
+                order.append(name)
+                merged[name] = sig
+                first_file[name] = f
+            else:
+                w = _widen(merged[name], sig)
+                if w is None:
+                    raise ValueError(
+                        f"ORC schema evolution: column {name!r} in {f} is "
+                        f"incompatible with its type in {first_file[name]}"
+                    )
+                merged[name] = w
+    return [(n, merged[n]) for n in order]
+
+
+def _sig_arrow(sig: tuple) -> pa.DataType:
+    """Arrow type for a field signature (timestamps microsecond — the
+    evolved scan's target schema is Spark-facing)."""
+    kind, prec, scale, _maxlen, names, children = sig
+    simple = {
+        "boolean": pa.bool_(), "byte": pa.int8(), "short": pa.int16(),
+        "int": pa.int32(), "long": pa.int64(), "float": pa.float32(),
+        "double": pa.float64(), "string": pa.string(), "varchar": pa.string(),
+        "char": pa.string(), "binary": pa.binary(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_instant": pa.timestamp("us", tz="UTC"),
+    }
+    if kind in simple:
+        return simple[kind]
+    if kind == "decimal":
+        return pa.decimal128(prec or 38, scale)
+    if kind == "list":
+        return pa.list_(_sig_arrow(children[0]))
+    if kind == "map":
+        return pa.map_(_sig_arrow(children[0]), _sig_arrow(children[1]))
+    if kind == "struct":
+        return pa.struct([pa.field(n, _sig_arrow(c)) for n, c in zip(names, children)])
+    raise ValueError(f"schema evolution unsupported for ORC kind {kind!r}")
+
+
+def _collect_fields_distributed(spark, files: list[str]) -> list[tuple[str, list]]:
+    """Distinct top-level schemas across many files via a Spark job (the
+    same shape as parquet's mergeSchema): tasks read tails and emit a
+    canonical signature string, the driver collects one example path per
+    DISTINCT signature — bounded by the number of schema versions ever
+    written, not the file count."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    n_tasks = scan_partitions(len(files), spark.sparkContext.defaultParallelism)
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(n_tasks)
+
+    def sig_of(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            paths = b.column("path").to_pylist()
+            sigs = [json.dumps(_file_fields(read_tail(f))) for f in paths]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(paths, type=pa.string()), pa.array(sigs, type=pa.string())],
+                names=["path", "sig"],
+            )
+
+    rows = (
+        paths_df.mapInArrow(sig_of, "path string, sig string")
+        .groupBy("sig").agg(F.min("path").alias("path"))
+        .collect()
+    )
+
+    def untuple(x):
+        return tuple(untuple(e) for e in x) if isinstance(x, list) else x
+
+    return [
+        (r["path"], [(n, untuple(s)) for n, s in json.loads(r["sig"])]) for r in rows
+    ]
+
+
+def read_orc_evolve(
+    spark: SparkSession,
+    path: str | list[str],
+    predicate: tuple | list[tuple] | None = None,
+    columns: list[str] | None = None,
+    batch_rows: int = 65536,
+) -> DataFrame:
+    """Read ORC files whose schemas EVOLVED over the table's lifetime as
+    one DataFrame — the name-based evolution semantics of ORC Java's
+    SchemaEvolution, which the strict ``read_orc`` refuses by design.
+
+    Target schema = the union of every file's top-level fields
+    (first-seen order), with per-field widening: byte<short<int<long,
+    float→double, varchar/char length growth. A file missing a field
+    yields typed NULLs for it; a narrower column widens via an Arrow
+    cast inside the decode task. Incompatible redefinition (e.g. int →
+    string) fails at PLANNING time naming both files.
+
+    Scale shape: the schema union is computed from a distributed
+    distinct-signature job above DISTRIBUTED_PLAN_THRESHOLD files (the
+    driver collects one row per DISTINCT schema version, not per file)
+    and a tail thread pool below it; stripe planning and decode then
+    follow the same stripe-parallel path as read_orc. Predicates prune
+    as usual where the column exists; files that predate a predicate's
+    column decode unpruned (their rows carry NULL there, and NULL never
+    satisfies a range predicate — the caller's row-level re-filter
+    drops them)."""
+    import glob as _glob
+    import os
+
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            files = sorted(_glob.glob(os.path.join(path, "*.orc")))
+        else:
+            files = [path]
+    else:
+        files = list(path)
+    if not files:
+        raise ValueError("read_orc_evolve: no ORC files found")
+    predicates: list[tuple] | None = None
+    if predicate is not None:
+        predicates = [predicate] if isinstance(predicate, tuple) else list(predicate)
+
+    distributed = len(files) > DISTRIBUTED_PLAN_THRESHOLD
+    if distributed:
+        per_file = _collect_fields_distributed(spark, files)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            per_file = list(ex.map(lambda f: (f, _file_fields(read_tail(f))), files))
+    target = _merge_fields(per_file)
+    if columns is not None:
+        known = {n for n, _ in target}
+        unknown = [c for c in columns if c not in known]
+        if unknown:
+            raise ValueError(f"unknown columns {unknown}; table has {sorted(known)}")
+        target = [(n, s) for n, s in target if n in columns]
+    target_names = [n for n, _ in target]
+    target_schema = pa.schema([pa.field(n, _sig_arrow(s)) for n, s in target])
+    ddl = ", ".join(f"{f.name} {_pa_ddl(f.type)}" for f in target_schema)
+
+    par = spark.sparkContext.defaultParallelism
+    if distributed:
+        # plan job: no schema gate (evolution replaces it — every file's
+        # compatibility was just proven via the union), stripes pruned
+        # per predicate where the column exists
+        n_tasks = scan_partitions(len(files), par)
+        paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(n_tasks)
+
+        def plan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for b in batches:
+                for f in b.column("path").to_pylist():
+                    _f, _sig, keep = _plan_file(f, predicates)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([f] * len(keep), type=pa.string()),
+                         pa.array(keep, type=pa.int64())],
+                        names=["path", "stripe"],
+                    )
+
+        stripe_df = paths_df.mapInArrow(plan, "path string, stripe bigint").repartition(
+            4 * max(1, par)
+        )
+    else:
+        work: list[tuple[str, int]] = []
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            for f, _sig, keep in ex.map(lambda f: _plan_file(f, predicates), files):
+                work.extend((f, i) for i in keep)
+        stripe_df = spark.createDataFrame(
+            [(f, int(i)) for f, i in work], "path string, stripe bigint"
+        ).repartition(scan_partitions(max(1, len(work)), par))
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        def adapt(batch: pa.RecordBatch) -> pa.RecordBatch:
+            arrays = []
+            for field in target_schema:
+                idx = batch.schema.get_field_index(field.name)
+                if idx < 0:
+                    arrays.append(pa.nulls(batch.num_rows, type=field.type))
+                elif batch.column(idx).type == field.type:
+                    arrays.append(batch.column(idx))
+                else:
+                    arrays.append(pc.cast(batch.column(idx), field.type, safe=False))
+            return pa.RecordBatch.from_arrays(arrays, names=target_names)
+
+        readers: dict[str, OrcFileReader] = {}
+        for b in batches:
+            for f, i in zip(b.column("path").to_pylist(), b.column("stripe").to_pylist()):
+                if f not in readers:
+                    readers[f] = OrcFileReader(f)
+                r = readers[f]
+                have = set(r.tail.footer.types[0].field_names)
+                cols = [c for c in target_names if c in have]
+                groups = None
+                if predicates:
+                    for col, lo, hi in predicates:
+                        g = r.prune_row_groups(int(i), col, lo, hi)
+                        if g is not None:
+                            groups = g if groups is None else sorted(set(groups) & set(g))
+                    if groups == []:
+                        continue
+                if not cols:
+                    # the file predates EVERY requested column: emit typed
+                    # all-null batches, one per batch_rows rows
+                    n = r.tail.footer.stripes[int(i)].number_of_rows
+                    while n > 0:
+                        m = min(n, batch_rows)
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.nulls(m, type=fld.type) for fld in target_schema],
+                            names=target_names,
+                        )
+                        n -= m
+                    continue
+                for batch in r.read_stripe_batches(
+                    int(i), cols, batch_rows=batch_rows, row_groups=groups
+                ):
+                    if batch.num_rows:
+                        yield adapt(_spark_friendly(batch))
+
+    return stripe_df.mapInArrow(decode, ddl)
