@@ -635,3 +635,50 @@ def read_orc_evolve(
                         yield adapt(_spark_friendly(batch))
 
     return stripe_df.mapInArrow(decode, ddl)
+
+
+def count_rows(path: str | list[str], spark: SparkSession | None = None) -> int:
+    """Exact row count from file FOOTERS alone — the 100 TB ``COUNT(*)``.
+
+    An ORC footer's numberOfRows is authoritative, so counting needs one
+    tail read per file and zero stripe bytes. Below
+    DISTRIBUTED_PLAN_THRESHOLD files a driver thread pool hides the
+    per-file read latency; above it (pass ``spark``) a Spark job reads
+    tails in tasks and the driver receives one partial sum per task —
+    nothing on the driver scales with the table but the path list."""
+    import glob as _glob
+    import os
+
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            files = sorted(_glob.glob(os.path.join(path, "*.orc")))
+        else:
+            files = [path]
+    else:
+        files = list(path)
+    if not files:
+        raise ValueError("count_rows: no ORC files found")
+    if spark is not None and len(files) > DISTRIBUTED_PLAN_THRESHOLD:
+        n_tasks = scan_partitions(len(files), spark.sparkContext.defaultParallelism)
+        paths_df = spark.createDataFrame(
+            [(f,) for f in files], "path string"
+        ).repartition(n_tasks)
+
+        def counts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for b in batches:
+                total = sum(
+                    read_tail(f).footer.number_of_rows
+                    for f in b.column("path").to_pylist()
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([total], type=pa.int64())], names=["n"]
+                )
+
+        from pyspark.sql import functions as F
+
+        out = paths_df.mapInArrow(counts, "n bigint").agg(F.sum("n").alias("n")).collect()
+        return int(out[0]["n"] or 0)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+        return sum(ex.map(lambda f: read_tail(f).footer.number_of_rows, files))

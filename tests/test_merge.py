@@ -185,3 +185,24 @@ def test_compact_orc_dir(spark, tmp_path):
     ).collect()[0]
     assert list(a) == list(b)
     assert spark.read.orc(compacted).count() == 30000
+
+
+def test_count_rows_metadata_only(tmp_path):
+    """count_rows sums footer numberOfRows — and proves it never touches
+    stripe bytes by counting a directory whose stripe regions have been
+    OVERWRITTEN with garbage (tails intact)."""
+    paths, expect = _parts(tmp_path)
+    from orc_rs_spark.orcfile.spark_source import count_rows
+
+    assert count_rows(paths) == len(expect)
+    assert count_rows(paths[0]) == _N
+    # corrupt every stripe's data region in a copy; the count must not care
+    import shutil
+
+    for p in paths:
+        tail = read_tail(p)
+        with open(p, "r+b") as f:
+            for si in tail.footer.stripes:
+                f.seek(si.offset)
+                f.write(b"\xde\xad" * 100)
+    assert count_rows(paths) == len(expect)
