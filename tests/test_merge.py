@@ -206,3 +206,58 @@ def test_count_rows_metadata_only(tmp_path):
                 f.seek(si.offset)
                 f.write(b"\xde\xad" * 100)
     assert count_rows(paths) == len(expect)
+
+
+def test_merge_all_types_table(tmp_path):
+    """Type-tree re-serialization must be lossless for EVERY kind the
+    writer emits: merge two parts of the all-types table (nested
+    list/map/struct, decimal(38,5), dates, binary, every int width) and
+    round-trip the result."""
+    from tests.test_orcfile import _writer_table
+
+    tbl = _writer_table()
+    half = tbl.num_rows // 2
+    a, b = tbl.slice(0, half), tbl.slice(half)
+    pa_ = str(tmp_path / "a.orc")
+    pb = str(tmp_path / "b.orc")
+    write_orc(a, pa_, stripe_rows=300)
+    write_orc(b, pb, stripe_rows=300)
+    out = str(tmp_path / "merged.orc")
+    n = merge_orc_files([pa_, pb], out)
+    assert n == tbl.num_rows
+    got = OrcFileReader(out).read_all()
+    assert got.cast(tbl.schema).combine_chunks().equals(tbl.combine_chunks())
+    # footer types survived exactly (incl. decimal precision/scale)
+    ta, tm = read_tail(pa_), read_tail(out)
+    assert [
+        (t.kind, t.subtypes, t.field_names, t.precision, t.scale, t.maximum_length)
+        for t in ta.footer.types
+    ] == [
+        (t.kind, t.subtypes, t.field_names, t.precision, t.scale, t.maximum_length)
+        for t in tm.footer.types
+    ]
+
+
+def test_merge_union_column_table(tmp_path):
+    """Union columns (TAG + per-child streams) relocate like any other
+    stripe; the union type node re-serializes with its children."""
+    import pyarrow as pa
+
+    types = pa.union(
+        [pa.field("i", pa.int64()), pa.field("s", pa.string())], mode="dense"
+    )
+    tags = pa.array([0, 1, 0, 1] * 100, type=pa.int8())
+    offsets = pa.array(
+        [i // 2 for i in range(400)], type=pa.int32()
+    )
+    ints = pa.array(range(200), type=pa.int64())
+    strs = pa.array([f"u{i}" for i in range(200)], type=pa.string())
+    u = pa.UnionArray.from_dense(tags, offsets, [ints, strs])
+    tbl = pa.table({"u": u})
+    p1, p2 = str(tmp_path / "u1.orc"), str(tmp_path / "u2.orc")
+    write_orc(tbl.slice(0, 200), p1, stripe_rows=90)
+    write_orc(tbl.slice(200), p2, stripe_rows=90)
+    out = str(tmp_path / "u_merged.orc")
+    assert merge_orc_files([p1, p2], out) == 400
+    got = OrcFileReader(out).read_all()
+    assert got.column("u").combine_chunks() == tbl.column("u").combine_chunks()
