@@ -42,6 +42,10 @@ def __getattr__(name):  # lazy: importing the package must not start Spark
         "FileSource": ("orc_rs_spark.orcfile.reader", "FileSource"),
         "MemorySource": ("orc_rs_spark.orcfile.reader", "MemorySource"),
         "orc_schema_ddl": ("orc_rs_spark.orcfile.spark_source", "orc_schema_ddl"),
+        "read_orc_evolve": ("orc_rs_spark.orcfile.spark_source", "read_orc_evolve"),
+        "count_rows": ("orc_rs_spark.orcfile.spark_source", "count_rows"),
+        "merge_orc_files": ("orc_rs_spark.orcfile.merge", "merge_orc_files"),
+        "compact_orc_dir": ("orc_rs_spark.orcfile.merge", "compact_orc_dir"),
         "get_spark": ("orc_rs_spark.session", "get_spark"),
     }
     if name in _API:
