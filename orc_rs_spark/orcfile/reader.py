@@ -335,22 +335,51 @@ def _runs(sorted_ids: list[int]) -> list[tuple[int, int]]:
     return runs
 
 
+def predicate_form(p: tuple) -> tuple:
+    """Normalize one scan predicate: ``(col, lo, hi)`` -> ("range", col,
+    lo, hi); ``(col, values)`` with a list/tuple/set/ndarray -> ("in",
+    col, list(values)) — the IN-list shape a semi-join pushdown produces."""
+    if len(p) == 3:
+        return ("range", p[0], p[1], p[2])
+    if len(p) == 2 and isinstance(p[1], (list, tuple, set, frozenset, np.ndarray)):
+        return ("in", p[0], list(p[1]))
+    raise ValueError(
+        f"predicate must be (column, lo, hi) or (column, values-list); got {p!r}"
+    )
+
+
 def prune_stripes_stats(tail: OrcTail, stats: list, predicates: list[tuple]) -> list[int]:
-    """Stripe indices that MAY satisfy every ``(column, lo, hi)`` predicate,
-    from pre-parsed stripe statistics — the Metadata section is read and
-    parsed ONCE per file however many predicates the scan carries. Falls
-    back to all stripes when statistics are missing or malformed."""
+    """Stripe indices that MAY satisfy every predicate — ``(column, lo,
+    hi)`` ranges and ``(column, values)`` IN-lists — from pre-parsed
+    stripe statistics: the Metadata section is read and parsed ONCE per
+    file however many predicates the scan carries. Falls back to all
+    stripes when statistics are missing or malformed."""
     n = len(tail.footer.stripes)
     if not stats or len(stats) != n:
         return list(range(n))
     keep = set(range(n))
-    for column, lo, hi in predicates:
+    for p in predicates:
+        form = predicate_form(p)
+        column = form[1]
         col_id = resolve_column_path(tail.footer.types, column)
         if col_id is None:
             continue
+        if form[0] == "range":
+            _, _, lo, hi = form
+
+            def hit(st):
+                return _stats_overlap(st, lo, hi)
+        else:
+            vals = form[2]
+            if not vals:
+                return []
+
+            def hit(st):
+                return any(_stats_overlap(st, v, v) for v in vals)
+
         keep = {
             i for i in keep
-            if col_id >= len(stats[i]) or _stats_overlap(stats[i][col_id], lo, hi)
+            if col_id >= len(stats[i]) or hit(stats[i][col_id])
         }
     return sorted(keep)
 
@@ -1083,6 +1112,45 @@ class OrcFileReader:
             keep = [
                 g for g in keep
                 if col_blooms[g] is None or _bloom_test(col_blooms[g], lo, kind)
+            ]
+        return keep
+
+    def prune_row_groups_in(self, i: int, column: str, values) -> list[int] | None:
+        """IN-list variant of ``prune_row_groups``: row-group ids whose
+        stats/blooms admit ANY of ``values`` (OR semantics — the pruning
+        shape of a semi-join pushdown: collect a small dimension's keys,
+        probe them all against one parse of the stripe's index). The
+        index region is read once for the whole list."""
+        stride = self.tail.footer.row_index_stride
+        if stride <= 0:
+            return None
+        vals = list(values)
+        if not vals:
+            return []
+        stripe = self.tail.footer.stripes[i]
+        n_groups = -(-stripe.number_of_rows // stride)
+        col_id = resolve_column_path(self.tail.footer.types, column)
+        if col_id is None:
+            return None
+        try:
+            rows, blooms = self._read_index_region(i)
+        except ValueError:
+            return None
+        entries = rows.get(col_id)
+        if not entries or len(entries) != n_groups:
+            return None
+        keep = [
+            g for g, e in enumerate(entries)
+            if e.statistics is None
+            or any(_stats_overlap(e.statistics, v, v) for v in vals)
+        ]
+        col_blooms = blooms.get(col_id)
+        if col_blooms is not None and len(col_blooms) == n_groups:
+            kind = self.tail.footer.types[col_id].kind
+            keep = [
+                g for g in keep
+                if col_blooms[g] is None
+                or any(_bloom_test(col_blooms[g], v, kind) for v in vals)
             ]
         return keep
 

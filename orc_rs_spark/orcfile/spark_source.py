@@ -17,10 +17,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 from orc_rs_spark.orcfile.reader import (
     OrcFileReader,
+    predicate_form,
     prune_stripes_stats,
     read_stripe_statistics,
     read_tail,
 )
+
+
+def _apply_residual(batch: pa.RecordBatch, predicates: list[tuple]) -> pa.RecordBatch:
+    """Vectorized in-task row filter for the scan's predicates (SQL
+    semantics: NULL matches nothing). Pruning keeps the superset; this
+    keeps the exact rows, so only matches cross the Python->JVM wire."""
+    import pyarrow.compute as pc
+
+    mask = None
+    for p in predicates:
+        form = predicate_form(p)
+        col = batch.column(batch.schema.get_field_index(form[1]))
+        if form[0] == "range":
+            m = pc.and_(pc.greater_equal(col, form[2]), pc.less_equal(col, form[3]))
+        else:
+            m = pc.is_in(col, value_set=pa.array(form[2], type=col.type))
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return batch.filter(mask) if mask is not None else batch
 
 _PA_TO_DDL = {
     pa.bool_(): "boolean",
@@ -234,6 +254,7 @@ def read_orc(
     predicate: tuple | list[tuple] | None = None,
     columns: list[str] | None = None,
     batch_rows: int = 65536,
+    residual: bool = False,
 ) -> DataFrame:
     """Read ORC file(s) as one DataFrame, one task per (file, stripe).
 
@@ -247,10 +268,18 @@ def read_orc(
     file's Metadata statistics (read ONCE per file for all predicates),
     then each task drops row groups inside surviving stripes through the
     ROW_INDEX min/max — plus bloom probes for point ranges — the index
-    the reference parses but never uses (src/stripe.rs:171). Decode
+    the reference parses but never uses (src/stripe.rs:171). A predicate
+    may also be ``(column, values)`` with a list — an IN-list, the shape
+    a semi-join pushdown produces (collect a small dimension's keys,
+    probe them all): stats admit a group if ANY value may be present,
+    blooms drop it unless SOME value probably was written. Decode
     streams out in ≤ batch_rows Arrow batches (bounded task memory,
-    whatever the stripe size). The predicate still needs re-applying
-    row-level by the caller (stats keep the superset)."""
+    whatever the stripe size). By default the predicate still needs
+    re-applying row-level by the caller (stats keep the superset);
+    ``residual=True`` applies it IN-TASK with vectorized Arrow compute
+    (SQL semantics: NULL never matches), so only matching rows cross
+    into the JVM — requires every predicate column to be in ``columns``
+    when a projection is given."""
     import glob as _glob
     import os
 
@@ -266,6 +295,17 @@ def read_orc(
     predicates: list[tuple] | None = None
     if predicate is not None:
         predicates = [predicate] if isinstance(predicate, tuple) else list(predicate)
+        for p in predicates:
+            predicate_form(p)  # validate shape up front, on the driver
+        if residual and columns is not None:
+            missing = [predicate_form(p)[1] for p in predicates
+                       if predicate_form(p)[1] not in columns]
+            if missing:
+                raise ValueError(
+                    f"residual=True needs predicate columns {missing} in `columns`"
+                )
+    elif residual:
+        raise ValueError("residual=True without a predicate")
     tail0 = read_tail(files[0])
     if ddl is None:
         root = tail0.footer.types[0]
@@ -296,8 +336,12 @@ def read_orc(
                 r = readers[f]
                 groups = None
                 if predicates:
-                    for col, lo, hi in predicates:
-                        g = r.prune_row_groups(int(i), col, lo, hi)
+                    for p in predicates:
+                        form = predicate_form(p)
+                        if form[0] == "range":
+                            g = r.prune_row_groups(int(i), form[1], form[2], form[3])
+                        else:
+                            g = r.prune_row_groups_in(int(i), form[1], form[2])
                         if g is not None:
                             groups = g if groups is None else sorted(set(groups) & set(g))
                     if groups == []:
@@ -305,6 +349,8 @@ def read_orc(
                 for batch in r.read_stripe_batches(
                     int(i), columns, batch_rows=batch_rows, row_groups=groups
                 ):
+                    if residual:
+                        batch = _apply_residual(batch, predicates)
                     if batch.num_rows:
                         yield _spark_friendly(batch)
 
@@ -610,8 +656,12 @@ def read_orc_evolve(
                 cols = [c for c in target_names if c in have]
                 groups = None
                 if predicates:
-                    for col, lo, hi in predicates:
-                        g = r.prune_row_groups(int(i), col, lo, hi)
+                    for p in predicates:
+                        form = predicate_form(p)
+                        if form[0] == "range":
+                            g = r.prune_row_groups(int(i), form[1], form[2], form[3])
+                        else:
+                            g = r.prune_row_groups_in(int(i), form[1], form[2])
                         if g is not None:
                             groups = g if groups is None else sorted(set(groups) & set(g))
                     if groups == []:

@@ -1219,6 +1219,30 @@ def q_orc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc_evolve(spark, files)
 
 
+@register(
+    "orc_semijoin_pushdown",
+    "SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE o_custkey IN (371, 746, 1117) ORDER BY o_orderkey",
+)
+def q_orc_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate + in-task residual filter — the semi-join
+    pushdown shape: collect a small dimension's keys, probe ALL of them
+    against one parse of each stripe's index (stats admit a group if any
+    key may be present; blooms drop it unless some key probably was
+    written), then filter rows vectorized INSIDE the task so only
+    matches cross the Python->JVM wire. No caller-side re-filter — the
+    scan's own residual IS the query's WHERE clause."""
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = _pq(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    out_dir = _scratch_dir("orc_semijoin")
+    write_orc_dir(df.coalesce(1), out_dir, compression="zlib", stripe_rows=8192,
+                  row_index_stride=1024, bloom_columns=["o_custkey"])
+    return read_orc(
+        spark, out_dir, predicate=("o_custkey", [371, 746, 1117]), residual=True
+    )
+
+
 # ---------------------------------------------------------- gate ordering
 # The driver's correctness gate runs the FIRST 50 registered queries; any
 # beyond that silently fall out in file order (round 3 lost the whole
@@ -1238,6 +1262,8 @@ def q_orc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over every entry), so nothing loses CI evidence — only gate slots.
 _GATE_TAIL = [
     "rt_str_dict_fsst",  # dict∘fsst composition; both factors gated alone
+    "rt_rlev2_runs",  # short-repeat: spec-vector pytests + inside every
+    # auto-selected engine query; delta/direct stay gated
     "pattern_counts",  # one of six textops queries over the same pure-JVM
     # expression surface; the other five stay gated
     "rt_raw",  # identity passthrough codec; dispatch is exercised by every chunk query
