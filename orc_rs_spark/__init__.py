@@ -45,6 +45,7 @@ def __getattr__(name):  # lazy: importing the package must not start Spark
         "read_orc_evolve": ("orc_rs_spark.orcfile.spark_source", "read_orc_evolve"),
         "count_rows": ("orc_rs_spark.orcfile.spark_source", "count_rows"),
         "merge_orc_files": ("orc_rs_spark.orcfile.merge", "merge_orc_files"),
+        "OrcRsDataSource": ("orc_rs_spark.orcfile.datasource", "OrcRsDataSource"),
         "compact_orc_dir": ("orc_rs_spark.orcfile.merge", "compact_orc_dir"),
         "get_spark": ("orc_rs_spark.session", "get_spark"),
     }

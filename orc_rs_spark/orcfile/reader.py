@@ -219,8 +219,10 @@ def read_stripe_statistics(path, tail: OrcTail | None = None) -> list[list[proto
 def _stats_overlap(st: proto.ColumnStatistics, lo, hi) -> bool:
     """True when the stats' [min, max] MAY intersect [lo, hi] (missing
     stats always overlap — pruning must only skip proven-empty ranges).
-    Date bounds compare in epoch days, timestamps in UTC millis; python
-    date/datetime predicate values are converted accordingly."""
+    Either bound may be None = unbounded on that side (one-sided ranges,
+    e.g. a pushed-down ``col > v``). Date bounds compare in epoch days,
+    timestamps in UTC millis; python date/datetime predicate values are
+    converted accordingly."""
     import datetime as _dt
 
     if st.int_min is not None:
@@ -254,7 +256,7 @@ def _stats_overlap(st: proto.ColumnStatistics, lo, hi) -> bool:
     if smin is None or smax is None:
         return True
     try:
-        return not (smax < lo or smin > hi)
+        return not ((lo is not None and smax < lo) or (hi is not None and smin > hi))
     except TypeError:
         # type-mismatched predicate (e.g. string bounds against an int
         # column): keep everything rather than abort the scan — pruning
@@ -1107,7 +1109,7 @@ class OrcFileReader:
             if e.statistics is None or _stats_overlap(e.statistics, lo, hi)
         ]
         col_blooms = blooms.get(col_id)
-        if lo == hi and col_blooms is not None and len(col_blooms) == n_groups:
+        if lo is not None and lo == hi and col_blooms is not None and len(col_blooms) == n_groups:
             kind = self.tail.footer.types[col_id].kind
             keep = [
                 g for g in keep

@@ -35,7 +35,15 @@ def _apply_residual(batch: pa.RecordBatch, predicates: list[tuple]) -> pa.Record
         form = predicate_form(p)
         col = batch.column(batch.schema.get_field_index(form[1]))
         if form[0] == "range":
-            m = pc.and_(pc.greater_equal(col, form[2]), pc.less_equal(col, form[3]))
+            lo, hi = form[2], form[3]
+            parts = []
+            if lo is not None:
+                parts.append(pc.greater_equal(col, lo))
+            if hi is not None:
+                parts.append(pc.less_equal(col, hi))
+            if not parts:
+                continue  # (col, None, None): no constraint
+            m = parts[0] if len(parts) == 1 else pc.and_(parts[0], parts[1])
         else:
             m = pc.is_in(col, value_set=pa.array(form[2], type=col.type))
         m = pc.fill_null(m, False)
