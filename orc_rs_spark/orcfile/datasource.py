@@ -47,6 +47,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -90,6 +92,9 @@ class OrcRsReader(DataSourceReader):
         # vs hint-only (pruning superset; Spark re-applies the filter)
         self._absorbed: list[tuple] = []
         self._hints: list[tuple] = []
+        # (column, want_null) null tests, absorbed exactly: ORC group
+        # stats prove both directions (hasNull / numberOfValues)
+        self._null_preds: list[tuple[str, bool]] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         # materialized (not a generator): the absorbed/hint lists must be
@@ -112,6 +117,10 @@ class OrcRsReader(DataSourceReader):
             elif isinstance(f, (LessThan, LessThanOrEqual)) and f.value is not None:
                 self._hints.append((top, None, f.value))
                 unsupported.append(f)
+            elif isinstance(f, IsNotNull):
+                self._null_preds.append((top, False))
+            elif isinstance(f, IsNull):
+                self._null_preds.append((top, True))
             else:
                 unsupported.append(f)
         return unsupported
@@ -140,6 +149,10 @@ class OrcRsReader(DataSourceReader):
                 g = r.prune_row_groups_in(partition.stripe, form[1], form[2])
             if g is not None:
                 groups = g if groups is None else sorted(set(groups) & set(g))
+        for col, want_null in self._null_preds:
+            g = r.prune_row_groups_null(partition.stripe, col, want_null)
+            if g is not None:
+                groups = g if groups is None else sorted(set(groups) & set(g))
         if groups == []:
             return
         for batch in r.read_stripe_batches(
@@ -148,8 +161,20 @@ class OrcRsReader(DataSourceReader):
         ):
             if self._absorbed:
                 batch = _apply_residual(batch, self._absorbed)
+            if self._null_preds:
+                batch = self._null_residual(batch)
             if batch.num_rows:
                 yield _spark_friendly(batch)
+
+    def _null_residual(self, batch: pa.RecordBatch) -> pa.RecordBatch:
+        import pyarrow.compute as pc
+
+        mask = None
+        for col_name, want_null in self._null_preds:
+            col = batch.column(batch.schema.get_field_index(col_name))
+            m = pc.is_null(col) if want_null else pc.is_valid(col)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask) if mask is not None else batch
 
 
 class OrcRsWriter(DataSourceArrowWriter):

@@ -1156,6 +1156,40 @@ class OrcFileReader:
             ]
         return keep
 
+    def prune_row_groups_null(self, i: int, column: str, want_null: bool) -> list[int] | None:
+        """Row-group ids that MAY hold a NULL (``want_null=True``, an
+        IS NULL predicate) or a non-NULL (``want_null=False``,
+        IS NOT NULL) for ``column``. ORC group statistics carry both
+        signals: hasNull=False proves no NULLs, numberOfValues==0 proves
+        nothing BUT NULLs. None when no usable index exists."""
+        stride = self.tail.footer.row_index_stride
+        if stride <= 0:
+            return None
+        stripe = self.tail.footer.stripes[i]
+        n_groups = -(-stripe.number_of_rows // stride)
+        col_id = resolve_column_path(self.tail.footer.types, column)
+        if col_id is None:
+            return None
+        try:
+            rows, _blooms = self._read_index_region(i)
+        except ValueError:
+            return None
+        entries = rows.get(col_id)
+        if not entries or len(entries) != n_groups:
+            return None
+        keep = []
+        for g, e in enumerate(entries):
+            st = e.statistics
+            if st is None:
+                keep.append(g)
+            elif want_null:
+                if st.has_null is None or st.has_null:
+                    keep.append(g)
+            else:
+                if st.number_of_values is None or st.number_of_values > 0:
+                    keep.append(g)
+        return keep
+
     def arrow_schema(self) -> pa.Schema:
         """Arrow schema from the footer type tree (metadata only)."""
         types = self.tail.footer.types

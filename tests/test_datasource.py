@@ -98,3 +98,18 @@ def test_sql_over_registered_format(registered, tmp_path):
     spark.read.format("orc_rs").load(out).createOrReplaceTempView("t_ds")
     row = spark.sql("SELECT COUNT(*) n, SUM(k) sk FROM t_ds WHERE k < 100").collect()[0]
     assert (row["n"], row["sk"]) == (100, sum(range(100)))
+
+
+def test_null_filters_absorbed(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "dsnull")
+    df = spark.range(0, 4000).selectExpr(
+        "id AS k", "IF(id < 500, NULL, id) AS v"
+    )
+    df.coalesce(1).write.format("orc_rs").mode("overwrite") \
+        .option("stripe_rows", "4000").option("row_index_stride", "500").save(out)
+    back = spark.read.format("orc_rs").load(out)
+    assert back.where("v IS NULL").count() == 500
+    assert back.where("v IS NOT NULL").count() == 3500
+    got = back.where("v IS NOT NULL AND v <= 600").collect()
+    assert sorted(r["k"] for r in got) == list(range(500, 601))

@@ -104,3 +104,26 @@ def test_read_orc_in_list_and_residual(spark, tmp_path):
         read_orc(spark, out, predicate=("u", want), columns=["k"], residual=True)
     with pytest.raises(ValueError, match="residual"):
         read_orc(spark, out, residual=True)
+
+
+def test_null_group_pruning(tmp_path):
+    """IS NULL / IS NOT NULL group pruning from hasNull/numberOfValues:
+    an all-null group vanishes for IS NOT NULL, a no-null group for
+    IS NULL."""
+    n = 4000
+    vals = [None] * 500 + list(range(500, n))  # group 0 (stride 500) all null
+    t = pa.table({
+        "k": np.arange(n, dtype=np.int64),
+        "v": pa.array(vals, type=pa.int64()),
+    })
+    p = str(tmp_path / "nulls.orc")
+    write_orc(t, p, stripe_rows=n, row_index_stride=500)
+    r = OrcFileReader(p)
+    not_null = r.prune_row_groups_null(0, "v", want_null=False)
+    assert not_null == list(range(1, 8))  # group 0 proven all-NULL
+    is_null = r.prune_row_groups_null(0, "v", want_null=True)
+    assert is_null == [0]  # groups 1..7 proven null-free
+    # decode the kept groups and check exact row recovery
+    b = r.read_stripe(0, row_groups=not_null)
+    assert b.column("v").null_count == 0
+    assert b.num_rows == n - 500
