@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -250,6 +251,75 @@ class OrcRsWriter(DataSourceArrowWriter):
                 os.remove(m.tmp)
 
 
+class OrcRsStreamWriter(DataSourceStreamArrowWriter):
+    """Structured Streaming sink for the ORC wire: ``writeStream
+    .format("orc_rs")``. Exactly-once by construction — tasks write
+    attempt-unique temp files, and the driver's per-micro-batch
+    ``commit(messages, batchId)`` renames them to batch-id-keyed names
+    (``part-{batch:08d}-{pid:05d}.orc``), so a REPLAYED batch (restart
+    between sink commit and checkpoint write) republishes the same
+    final names instead of duplicating rows — the same idempotent
+    overwrite contract as streaming.py's foreachBatch sink."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("orc_rs: a path is required (use .option('path', ...))")
+        self.compression = options.get("compression", "zlib")
+        self.stripe_rows = int(options.get("stripe_rows", 65536))
+        self.row_index_stride = int(options.get("row_index_stride", 10000))
+        blooms = options.get("bloom_columns")
+        self.bloom_columns = blooms.split(",") if blooms else None
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> OrcWriteMessage:
+        from pyspark import TaskContext
+
+        from orc_rs_spark.orcfile.writer import OrcWriter
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".stream-{pid:05d}.{attempt}.tmp")
+        writer: OrcWriter | None = None
+        try:
+            for b in iterator:
+                if b.num_rows == 0:
+                    continue
+                if writer is None:
+                    writer = OrcWriter(
+                        tmp, b.schema, compression=self.compression,
+                        stripe_rows=self.stripe_rows,
+                        row_index_stride=self.row_index_stride,
+                        bloom_columns=self.bloom_columns,
+                    )
+                writer.write_batch(b)
+        except BaseException:
+            if writer is not None:
+                writer.abort()
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+        if writer is None:
+            return OrcWriteMessage(None, None, 0)
+        writer.close()
+        # final name is assigned at COMMIT time (it needs the batch id)
+        return OrcWriteMessage(tmp, f"{pid:05d}", writer.num_rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.tmp:
+                final = os.path.join(
+                    self.path, f"part-{batchId:08d}-{m.final}.orc"
+                )
+                os.replace(m.tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.tmp and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
 class OrcRsDataSource(DataSource):
     """``spark.dataSource.register(OrcRsDataSource)`` then read/write
     with ``.format("orc_rs")``."""
@@ -274,3 +344,6 @@ class OrcRsDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> OrcRsWriter:
         return OrcRsWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> OrcRsStreamWriter:
+        return OrcRsStreamWriter(self.options, schema)

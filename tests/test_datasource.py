@@ -113,3 +113,35 @@ def test_null_filters_absorbed(registered, tmp_path):
     assert back.where("v IS NOT NULL").count() == 3500
     got = back.where("v IS NOT NULL AND v <= 600").collect()
     assert sorted(r["k"] for r in got) == list(range(500, 601))
+
+
+def test_stream_writer_exactly_once(registered, tmp_path):
+    """writeStream.format("orc_rs"): batch-id-keyed file names, no temp
+    leftovers, and a second availableNow run over the same checkpoint
+    appends only the NEW source rows (exactly-once across restarts)."""
+    spark = registered
+    src = str(tmp_path / "stream_src")
+    cp = str(tmp_path / "stream_cp")
+    out = str(tmp_path / "stream_out")
+    spark.range(0, 1000).toDF("id").write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id bigint").parquet(src)
+            .writeStream.format("orc_rs")
+            .option("path", out).option("checkpointLocation", cp)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.format("orc_rs").load(out).count() == 1000
+    spark.range(1000, 1800).toDF("id").write.mode("append").parquet(src)
+    run()
+    back = spark.read.format("orc_rs").load(out)
+    assert back.count() == 1800
+    assert back.selectExpr("sum(id)").collect()[0][0] == sum(range(1800))
+    assert not glob.glob(f"{out}/*.tmp") and not glob.glob(f"{out}/.stream-*")
+    # files are batch-id keyed
+    names = sorted(glob.glob(f"{out}/part-*.orc"))
+    assert names and all("part-0000" in n for n in names)
