@@ -97,6 +97,22 @@ class OrcRsReader(DataSourceReader):
         # stats prove both directions (hasNull / numberOfValues)
         self._null_preds: list[tuple[str, bool]] = []
 
+    @staticmethod
+    def _pushable(v) -> bool:
+        """Values safe to prune/absorb. Timestamps are NOT: Spark pushes
+        session-local naive datetimes while the stats compare in UTC
+        millis and Arrow refuses naive-vs-tz comparisons — mis-pruning an
+        ABSORBED filter would silently drop rows. NaN is not: Spark's
+        NaN = NaN is true while Arrow range compares are false. Both go
+        back to Spark untouched (dates are fine: epoch days carry no tz)."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return False
+        if isinstance(v, float) and v != v:
+            return False
+        return v is not None
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         # materialized (not a generator): the absorbed/hint lists must be
         # complete no matter how Spark consumes the returned iterable
@@ -106,16 +122,16 @@ class OrcRsReader(DataSourceReader):
             top = attr[0] if attr and len(attr) == 1 else None
             if top is None or top not in self.columns:
                 unsupported.append(f)
-            elif isinstance(f, EqualTo) and f.value is not None:
+            elif isinstance(f, EqualTo) and self._pushable(f.value):
                 self._absorbed.append((top, f.value, f.value))
-            elif isinstance(f, In) and f.value and all(v is not None for v in f.value):
+            elif isinstance(f, In) and f.value and all(self._pushable(v) for v in f.value):
                 self._absorbed.append((top, list(f.value)))
-            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and f.value is not None:
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and self._pushable(f.value):
                 # inclusive superset of the strict bound — prune only,
                 # Spark re-applies the exact comparison
                 self._hints.append((top, f.value, None))
                 unsupported.append(f)
-            elif isinstance(f, (LessThan, LessThanOrEqual)) and f.value is not None:
+            elif isinstance(f, (LessThan, LessThanOrEqual)) and self._pushable(f.value):
                 self._hints.append((top, None, f.value))
                 unsupported.append(f)
             elif isinstance(f, IsNotNull):
@@ -178,67 +194,99 @@ class OrcRsReader(DataSourceReader):
         return batch.filter(mask) if mask is not None else batch
 
 
-class OrcRsWriter(DataSourceArrowWriter):
-    """Per-task streaming ORC writer with a rename-on-commit protocol:
-    tasks write attempt-unique temp files and report them; the DRIVER
-    renames them into place in ``commit`` (and, for overwrite mode,
-    clears pre-existing part files first), so a failed or speculative
-    task never leaves a visible partial file."""
+class _WriteOptions:
+    """Shared option parsing for the batch and streaming writers."""
 
-    def __init__(self, options, schema, overwrite: bool):
+    def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orc_rs: a path is required (use .save(path))")
-        self.overwrite = overwrite
         self.compression = options.get("compression", "zlib")
         self.stripe_rows = int(options.get("stripe_rows", 65536))
         self.row_index_stride = int(options.get("row_index_stride", 10000))
         blooms = options.get("bloom_columns")
         self.bloom_columns = blooms.split(",") if blooms else None
 
-    def write(self, iterator: Iterator[pa.RecordBatch]) -> OrcWriteMessage:
-        from pyspark import TaskContext
 
-        from orc_rs_spark.orcfile.writer import OrcWriter
+def _write_task_tmp(iterator: Iterator[pa.RecordBatch], tmp: str,
+                    opts: _WriteOptions) -> int | None:
+    """Stream a task's batches into ``tmp``; returns the row count, or
+    None when the partition was empty (no file created). The temp file
+    is removed on ANY failure — including a failed footer write in
+    close(), which would otherwise orphan a .tmp no abort() message
+    could reach."""
+    from orc_rs_spark.orcfile.writer import OrcWriter
 
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        attempt = ctx.taskAttemptId() if ctx is not None else 0
-        os.makedirs(self.path, exist_ok=True)
-        final = os.path.join(self.path, f"part-{pid:05d}.orc")
-        tmp = f"{final}.{attempt}.tmp"
-        writer: OrcWriter | None = None
-        try:
-            for b in iterator:
-                if b.num_rows == 0:
-                    continue
-                if writer is None:
-                    writer = OrcWriter(
-                        tmp, b.schema, compression=self.compression,
-                        stripe_rows=self.stripe_rows,
-                        row_index_stride=self.row_index_stride,
-                        bloom_columns=self.bloom_columns,
-                    )
-                writer.write_batch(b)
-        except BaseException:
-            if writer is not None:
-                writer.abort()
-            if os.path.exists(tmp):
-                os.remove(tmp)
-            raise
+    writer: OrcWriter | None = None
+    try:
+        for b in iterator:
+            if b.num_rows == 0:
+                continue
+            if writer is None:
+                writer = OrcWriter(
+                    tmp, b.schema, compression=opts.compression,
+                    stripe_rows=opts.stripe_rows,
+                    row_index_stride=opts.row_index_stride,
+                    bloom_columns=opts.bloom_columns,
+                )
+            writer.write_batch(b)
         if writer is None:
-            return OrcWriteMessage(None, None, 0)
+            return None
         writer.close()
-        return OrcWriteMessage(tmp, final, writer.num_rows)
+        return writer.num_rows
+    except BaseException:
+        if writer is not None:
+            writer.abort()
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+
+
+def _task_ids() -> tuple[int, int]:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is None:
+        return 0, 0
+    return ctx.partitionId(), ctx.taskAttemptId()
+
+
+class OrcRsWriter(DataSourceArrowWriter):
+    """Per-task streaming ORC writer with a rename-on-commit protocol:
+    tasks write attempt-unique temp files and report them; the DRIVER
+    renames them into place in ``commit`` (for overwrite mode after
+    clearing pre-existing part files), so a failed or speculative task
+    never leaves a visible partial file. Final names carry a per-JOB
+    token (generated on the driver, shared by every task), so append
+    mode never collides with an earlier job's part files."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import uuid
+
+        self.opts = _WriteOptions(options)
+        self.overwrite = overwrite
+        self.job_token = uuid.uuid4().hex[:8]
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> OrcWriteMessage:
+        pid, attempt = _task_ids()
+        os.makedirs(self.opts.path, exist_ok=True)
+        final = os.path.join(
+            self.opts.path, f"part-{self.job_token}-{pid:05d}.orc"
+        )
+        tmp = f"{final}.{attempt}.tmp"
+        rows = _write_task_tmp(iterator, tmp, self.opts)
+        if rows is None:
+            return OrcWriteMessage(None, None, 0)
+        return OrcWriteMessage(tmp, final, rows)
 
     def commit(self, messages) -> None:
         import glob as _glob
 
         if self.overwrite:
             keep = {m.tmp for m in messages if m and m.tmp}
-            for f in _glob.glob(os.path.join(self.path, "*.orc")):
+            for f in _glob.glob(os.path.join(self.opts.path, "*.orc")):
                 os.remove(f)
-            for f in _glob.glob(os.path.join(self.path, "*.tmp")):
+            for f in _glob.glob(os.path.join(self.opts.path, "*.tmp")):
                 if f not in keep:
                     os.remove(f)
         for m in messages:
@@ -256,63 +304,40 @@ class OrcRsStreamWriter(DataSourceStreamArrowWriter):
     .format("orc_rs")``. Exactly-once by construction — tasks write
     attempt-unique temp files, and the driver's per-micro-batch
     ``commit(messages, batchId)`` renames them to batch-id-keyed names
-    (``part-{batch:08d}-{pid:05d}.orc``), so a REPLAYED batch (restart
-    between sink commit and checkpoint write) republishes the same
-    final names instead of duplicating rows — the same idempotent
-    overwrite contract as streaming.py's foreachBatch sink."""
+    (``part-{batch:08d}-{pid:05d}.orc``) and then sweeps any OTHER file
+    of the same batch id (a replayed batch that re-partitioned
+    differently must replace the whole batch, not just the partitions
+    it happens to share), so a restart between sink commit and
+    checkpoint write republishes the batch instead of duplicating rows."""
 
     def __init__(self, options, schema):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("orc_rs: a path is required (use .option('path', ...))")
-        self.compression = options.get("compression", "zlib")
-        self.stripe_rows = int(options.get("stripe_rows", 65536))
-        self.row_index_stride = int(options.get("row_index_stride", 10000))
-        blooms = options.get("bloom_columns")
-        self.bloom_columns = blooms.split(",") if blooms else None
+        self.opts = _WriteOptions(options)
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> OrcWriteMessage:
-        from pyspark import TaskContext
-
-        from orc_rs_spark.orcfile.writer import OrcWriter
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        attempt = ctx.taskAttemptId() if ctx is not None else 0
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".stream-{pid:05d}.{attempt}.tmp")
-        writer: OrcWriter | None = None
-        try:
-            for b in iterator:
-                if b.num_rows == 0:
-                    continue
-                if writer is None:
-                    writer = OrcWriter(
-                        tmp, b.schema, compression=self.compression,
-                        stripe_rows=self.stripe_rows,
-                        row_index_stride=self.row_index_stride,
-                        bloom_columns=self.bloom_columns,
-                    )
-                writer.write_batch(b)
-        except BaseException:
-            if writer is not None:
-                writer.abort()
-            if os.path.exists(tmp):
-                os.remove(tmp)
-            raise
-        if writer is None:
+        pid, attempt = _task_ids()
+        os.makedirs(self.opts.path, exist_ok=True)
+        tmp = os.path.join(self.opts.path, f".stream-{pid:05d}.{attempt}.tmp")
+        rows = _write_task_tmp(iterator, tmp, self.opts)
+        if rows is None:
             return OrcWriteMessage(None, None, 0)
-        writer.close()
         # final name is assigned at COMMIT time (it needs the batch id)
-        return OrcWriteMessage(tmp, f"{pid:05d}", writer.num_rows)
+        return OrcWriteMessage(tmp, f"{pid:05d}", rows)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob as _glob
+
+        finals = set()
         for m in messages:
             if m and m.tmp:
                 final = os.path.join(
-                    self.path, f"part-{batchId:08d}-{m.final}.orc"
+                    self.opts.path, f"part-{batchId:08d}-{m.final}.orc"
                 )
                 os.replace(m.tmp, final)
+                finals.add(final)
+        # replay with fewer partitions: drop the earlier attempt's extras
+        for f in _glob.glob(os.path.join(self.opts.path, f"part-{batchId:08d}-*.orc")):
+            if f not in finals:
+                os.remove(f)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -37,7 +37,13 @@ import os
 
 from orc_rs_spark.orcfile import proto
 from orc_rs_spark.orcfile.errors import OrcFormatError
-from orc_rs_spark.orcfile.reader import OrcTail, as_source, orc_stream_decompress, read_tail
+from orc_rs_spark.orcfile.reader import (
+    OrcTail,
+    as_source,
+    orc_stream_decompress,
+    read_tail,
+    schema_signature,
+)
 from orc_rs_spark.orcfile.writer import (
     _INT_STAT_KINDS,
     _KIND,
@@ -51,17 +57,12 @@ from orc_rs_spark.kernels.blockcomp import block_compress
 
 _COPY_CHUNK = 8 << 20  # stripes stream through in 8 MiB slices
 
-_CODEC_ENUM = {"none": 0, "zlib": 1, "snappy": 2, "lzo": 3, "lz4": 4, "zstd": 5}
+# lzo deliberately absent: block_compress cannot frame the rebuilt tail
+# sections for it, so merge refuses lzo files up front instead of dying
+# mid-copy with a half-written output
+_CODEC_ENUM = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
 
-
-def _type_sig(tail: OrcTail) -> tuple:
-    """Hashable signature of the full type tree (same fields
-    spark_source's mixed-schema gate compares)."""
-    return tuple(
-        (t.kind, tuple(t.subtypes), tuple(t.field_names), t.precision, t.scale,
-         t.maximum_length)
-        for t in tail.footer.types
-    )
+_type_sig = schema_signature
 
 
 def _type_message(t: proto.OrcType) -> bytes:
@@ -104,22 +105,30 @@ def _merge_file_stats(tails: list[OrcTail]) -> list[bytes]:
     for col, t in enumerate(types):
         n_values, has_null = 0, False
         mn = mx = None
-        known = True
+        bounds_known = counts_known = True
         for tail in tails:
             stats = tail.footer.statistics
             st = stats[col] if col < len(stats) else None
-            if st is None:
-                known = False
-                continue
-            n_values += st.number_of_values or 0
-            has_null = has_null or bool(st.has_null)
-            lo, hi = _stat_bounds(st, t.kind)
+            if st is None or st.number_of_values is None or st.has_null is None:
+                # an input carries no (or partial) stats for this column:
+                # affirmative merged counts would LIE about its rows (e.g.
+                # hasNull=false over data that does contain nulls), so the
+                # merged footer gets an EMPTY ColumnStatistics message —
+                # every field is optional and absent == unknown
+                counts_known = False
+            else:
+                n_values += st.number_of_values
+                has_null = has_null or st.has_null
+            lo, hi = _stat_bounds(st, t.kind) if st is not None else (None, None)
             if lo is None or hi is None:
-                known = False
+                bounds_known = False
                 continue
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
-        if not known:
+        if not counts_known:
+            out.append(b"")
+            continue
+        if not bounds_known:
             mn = mx = None
         out.append(_stats_body(n_values, has_null, t.kind, mn, mx))
     return out
@@ -144,9 +153,23 @@ def merge_orc_files(paths: list[str], out_path: str) -> int:
     merged row count. Inputs must share schema, compression (kind AND
     block size) and rowIndexStride; stripes keep their input order, so a
     sort clustered across input files stays clustered after compaction
-    (range pruning keeps its selectivity)."""
+    (range pruning keeps its selectivity). The output is written through
+    an in-progress temp name and renamed on success, so a mid-merge
+    failure never leaves a truncated file that a later directory scan
+    would pick up as a valid ``.orc``."""
     if not paths:
         raise ValueError("merge_orc_files: no input files")
+    tmp_path = f"{out_path}.inprogress"
+    try:
+        n = _merge_orc_files_to(paths, tmp_path)
+        os.replace(tmp_path, out_path)
+        return n
+    finally:
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+
+
+def _merge_orc_files_to(paths: list[str], out_path: str) -> int:
     tails = [read_tail(p) for p in paths]
     sig0 = _type_sig(tails[0])
     ps0 = tails[0].postscript
@@ -200,14 +223,17 @@ def merge_orc_files(paths: list[str], out_path: str) -> int:
 
         # Metadata: concatenation of the sources' StripeStatistics lists
         # is valid protobuf for the merged Metadata message IF every input
-        # carries one entry per stripe; a single statless input would
-        # misalign stats[stripe] with the merged stripe list, so drop the
-        # whole section in that (never-ours) case rather than mis-prune.
+        # carries EXACTLY one entry per stripe; a statless input — or a
+        # foreign file whose entry count disagrees with its stripe count —
+        # would misattribute stats[stripe] to the wrong stripes after
+        # concatenation (silent mis-pruning), so drop the whole section in
+        # that (never-ours) case rather than mis-prune.
         bodies = [_metadata_body(p, t) for p, t in zip(paths, tails)]
-        statless = any(
-            not b and len(t.footer.stripes) > 0 for b, t in zip(bodies, tails)
+        aligned = all(
+            len(proto.decode_fields(b).get(1, [])) == len(t.footer.stripes)
+            for b, t in zip(bodies, tails)
         )
-        metadata = b"" if statless else b"".join(bodies)
+        metadata = b"".join(bodies) if aligned else b""
         if metadata:
             metadata = (
                 block_compress(metadata, ps0.compression,

@@ -337,6 +337,19 @@ def _runs(sorted_ids: list[int]) -> list[tuple[int, int]]:
     return runs
 
 
+def schema_signature(tail: OrcTail) -> tuple:
+    """Hashable signature of the full type tree — every field that
+    affects decode or rendering, including varchar/char maximum_length.
+    The single source of truth for both the scan's mixed-schema gate and
+    merge's compatibility check (drift between two copies would let one
+    path combine files the other refuses)."""
+    return tuple(
+        (t.kind, tuple(t.subtypes), tuple(t.field_names), t.precision, t.scale,
+         t.maximum_length)
+        for t in tail.footer.types
+    )
+
+
 def predicate_form(p: tuple) -> tuple:
     """Normalize one scan predicate: ``(col, lo, hi)`` -> ("range", col,
     lo, hi); ``(col, values)`` with a list/tuple/set/ndarray -> ("in",

@@ -172,15 +172,12 @@ def scan_partitions(n_work: int, default_parallelism: int) -> int:
 
 
 def _schema_sig(tail) -> tuple:
-    """Hashable schema signature for mixed-schema detection: every field
-    of the type tree that affects decode or rendering, INCLUDING
-    varchar/char maximum_length (varchar(10) vs varchar(20) is a real
-    mismatch even though both scan as string)."""
-    return tuple(
-        (t.kind, tuple(t.subtypes), tuple(t.field_names), t.precision, t.scale,
-         t.maximum_length)
-        for t in tail.footer.types
-    )
+    """Mixed-schema gate signature — delegates to the shared
+    reader.schema_signature (one source of truth with merge's
+    compatibility check)."""
+    from orc_rs_spark.orcfile.reader import schema_signature
+
+    return schema_signature(tail)
 
 
 def _plan_file(f: str, predicates: list[tuple] | None) -> tuple[str, tuple, list[int]]:

@@ -145,3 +145,77 @@ def test_stream_writer_exactly_once(registered, tmp_path):
     # files are batch-id keyed
     names = sorted(glob.glob(f"{out}/part-*.orc"))
     assert names and all("part-0000" in n for n in names)
+
+
+def test_append_mode_never_clobbers(registered, tmp_path):
+    """Review finding: job-unique part names — a second append job must
+    add files, not overwrite the first job's part-{pid}."""
+    spark = registered
+    out = str(tmp_path / "dsappend")
+    df = spark.range(0, 1000).toDF("k")
+    df.coalesce(1).write.format("orc_rs").mode("append").save(out)
+    df.coalesce(1).write.format("orc_rs").mode("append").save(out)
+    assert len(glob.glob(f"{out}/*.orc")) == 2
+    assert spark.read.format("orc_rs").load(out).count() == 2000
+
+
+def test_timestamp_and_nan_filters_not_absorbed(registered, tmp_path):
+    """Review findings: timestamp equality (session-tz semantics) and
+    NaN equality (Spark's NaN = NaN is true) must NOT be absorbed — the
+    source hands them back and Spark applies its own semantics."""
+    spark = registered
+    out = str(tmp_path / "dstsnan")
+    spark.sql("""
+        SELECT id AS k,
+               timestamp'2024-03-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+               IF(id = 7, CAST('NaN' AS DOUBLE), CAST(id AS DOUBLE)) AS x
+        FROM range(0, 100)
+    """).coalesce(1).write.format("orc_rs").mode("overwrite").save(out)
+    back = spark.read.format("orc_rs").load(out)
+    got = back.where("ts = timestamp'2024-03-01 12:00:42'").collect()
+    assert [r["k"] for r in got] == [42]
+    got = back.where("x = CAST('NaN' AS DOUBLE)").collect()
+    assert [r["k"] for r in got] == [7]
+
+
+def test_stream_replay_with_fewer_partitions(registered, tmp_path):
+    """Review finding: a replayed micro-batch that repartitioned down
+    must replace the WHOLE batch — stale part files of the same batch id
+    are swept at commit."""
+    import pyarrow as pa
+
+    from orc_rs_spark.orcfile.datasource import OrcRsStreamWriter
+
+    out = str(tmp_path / "dsreplay")
+    w = OrcRsStreamWriter({"path": out}, None)
+
+    def fake_task(pid, rows):
+        import pyspark
+
+        class Ctx:
+            def partitionId(self):
+                return pid
+
+            def taskAttemptId(self):
+                return pid * 100 + rows
+
+        orig = pyspark.TaskContext.get
+        pyspark.TaskContext.get = staticmethod(lambda: Ctx())
+        try:
+            return w.write(iter([pa.record_batch(
+                {"k": pa.array(list(range(rows)), type=pa.int64())})]))
+        finally:
+            pyspark.TaskContext.get = orig
+
+    # first attempt of batch 3: 4 partitions
+    msgs = [fake_task(pid, 10) for pid in range(4)]
+    w.commit(msgs, batchId=3)
+    assert len(glob.glob(f"{out}/part-00000003-*.orc")) == 4
+    # replay of batch 3 with only 2 partitions
+    msgs = [fake_task(pid, 25) for pid in range(2)]
+    w.commit(msgs, batchId=3)
+    files = sorted(glob.glob(f"{out}/part-00000003-*.orc"))
+    assert len(files) == 2  # stale 00002/00003 swept
+    from orc_rs_spark.orcfile.reader import OrcFileReader
+
+    assert sum(OrcFileReader(f).read_all().num_rows for f in files) == 50

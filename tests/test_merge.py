@@ -261,3 +261,31 @@ def test_merge_union_column_table(tmp_path):
     assert merge_orc_files([p1, p2], out) == 400
     got = OrcFileReader(out).read_all()
     assert got.column("u").combine_chunks() == tbl.column("u").combine_chunks()
+
+
+def test_merge_file_stats_honest_when_input_statless():
+    """Review finding: an input with no stats for a column must yield an
+    EMPTY merged ColumnStatistics (unknown), never affirmative counts
+    that undercount / claim hasNull=false."""
+    from types import SimpleNamespace
+
+    from orc_rs_spark.orcfile.merge import _merge_file_stats
+    from orc_rs_spark.orcfile.proto import ColumnStatistics
+
+    types = [SimpleNamespace(kind="struct"), SimpleNamespace(kind="long")]
+    full = SimpleNamespace(footer=SimpleNamespace(
+        types=types,
+        statistics=[ColumnStatistics(5, False), ColumnStatistics(5, False, int_min=1, int_max=9)],
+    ))
+    statless = SimpleNamespace(footer=SimpleNamespace(types=types, statistics=[]))
+    bodies = _merge_file_stats([full, statless])
+    assert bodies == [b"", b""]  # unknown, not "5 values, no nulls"
+    # both present: counts sum, bounds combine
+    full2 = SimpleNamespace(footer=SimpleNamespace(
+        types=types,
+        statistics=[ColumnStatistics(3, True), ColumnStatistics(3, True, int_min=-4, int_max=2)],
+    ))
+    bodies = _merge_file_stats([full, full2])
+    parsed = ColumnStatistics.parse(bodies[1])
+    assert (parsed.number_of_values, parsed.has_null) == (8, True)
+    assert (parsed.int_min, parsed.int_max) == (-4, 9)
