@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -345,6 +346,73 @@ class OrcRsStreamWriter(DataSourceStreamArrowWriter):
                 os.remove(m.tmp)
 
 
+class OrcRsStreamReader(DataSourceStreamReader):
+    """Structured Streaming SOURCE over a growing ORC directory:
+    ``spark.readStream.format("orc_rs").load(dir)`` — the ingestion
+    mirror of the sink. New part files become the next micro-batch;
+    within a batch the unit of parallelism is still one task per
+    (file, stripe).
+
+    Offset = the lexicographically-largest file name seen (``{"last":
+    name}``), so the directory must grow append-only with sortable
+    names — exactly what this package's own sinks produce
+    (``part-{job}-{pid}``, ``part-{batch:08d}-{pid}``). The offset
+    stays O(1) however many files accumulate — a seen-file SET would
+    grow with the table and be checkpointed every batch. Files that
+    sort below the watermark are assumed immutable-and-processed (the
+    rename-on-commit sinks guarantee a file is complete the moment it
+    is visible)."""
+
+    def __init__(self, options, schema):
+        import glob as _glob
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("orc_rs: a path is required (use .load(path))")
+        self.batch_rows = int(options.get("batch_rows", 65536))
+        self.columns = [f.name for f in schema.fields]
+        self._glob = _glob
+
+    def _names(self) -> list[str]:
+        return sorted(
+            os.path.basename(f)
+            for f in self._glob.glob(os.path.join(self.path, "*.orc"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        names = self._names()
+        return {"last": names[-1] if names else ""}
+
+    def partitions(self, start: dict, end: dict):
+        from orc_rs_spark.orcfile.spark_source import _plan_scan_threaded
+
+        lo, hi = start.get("last", ""), end.get("last", "")
+        files = [
+            os.path.join(self.path, n) for n in self._names() if lo < n <= hi
+        ]
+        if not files:
+            return []
+        work = _plan_scan_threaded(files, None)
+        return [OrcStripePartition(f, i) for f, i in work]
+
+    def read(self, partition: OrcStripePartition):
+        from orc_rs_spark.orcfile.reader import OrcFileReader
+        from orc_rs_spark.orcfile.spark_source import _spark_friendly
+
+        r = OrcFileReader(partition.path)
+        for batch in r.read_stripe_batches(
+            partition.stripe, self.columns, batch_rows=self.batch_rows
+        ):
+            if batch.num_rows:
+                yield _spark_friendly(batch)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class OrcRsDataSource(DataSource):
     """``spark.dataSource.register(OrcRsDataSource)`` then read/write
     with ``.format("orc_rs")``."""
@@ -372,3 +440,6 @@ class OrcRsDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> OrcRsStreamWriter:
         return OrcRsStreamWriter(self.options, schema)
+
+    def streamReader(self, schema) -> OrcRsStreamReader:
+        return OrcRsStreamReader(self.options, schema)

@@ -219,3 +219,28 @@ def test_stream_replay_with_fewer_partitions(registered, tmp_path):
     from orc_rs_spark.orcfile.reader import OrcFileReader
 
     assert sum(OrcFileReader(f).read_all().num_rows for f in files) == 50
+
+
+def test_stream_reader_tails_directory(registered, tmp_path):
+    """readStream.format("orc_rs"): existing files form the first
+    micro-batch, files appended later form the next — O(1) offsets over
+    an append-only directory."""
+    spark = registered
+    src = str(tmp_path / "sr_src")
+    spark.range(0, 1000).toDF("k").coalesce(1).write.format("orc_rs") \
+        .mode("append").save(src)
+    q = (
+        spark.readStream.format("orc_rs").load(src)
+        .writeStream.format("memory").queryName("sr_sink")
+        .option("checkpointLocation", str(tmp_path / "sr_cp")).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT COUNT(*) FROM sr_sink").collect()[0][0] == 1000
+        spark.range(1000, 1600).toDF("k").coalesce(1).write.format("orc_rs") \
+            .mode("append").save(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT COUNT(*) n, SUM(k) s FROM sr_sink").collect()[0]
+        assert (rows["n"], rows["s"]) == (1600, sum(range(1600)))
+    finally:
+        q.stop()
