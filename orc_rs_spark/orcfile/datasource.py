@@ -84,12 +84,26 @@ class OrcWriteMessage(WriterCommitMessage):
     rows: int
 
 
+def _evolve_on(options) -> bool:
+    return str(options.get("evolve", "false")).lower() in ("true", "1")
+
+
 class OrcRsReader(DataSourceReader):
     def __init__(self, options, schema):
         self.options = options
         self.files = _resolve_files(options)
         self.batch_rows = int(options.get("batch_rows", 65536))
         self.columns = [f.name for f in schema.fields]
+        self.evolve = _evolve_on(options)
+        self._target = None
+        if self.evolve:
+            # evolved target schema, trimmed/ordered to the read schema
+            from orc_rs_spark.orcfile.spark_source import evolve_target
+
+            full, _ = evolve_target(self.files)
+            self._target = pa.schema([
+                full.field(full.names.index(c)) for c in self.columns
+            ])
         # predicates pushed by Catalyst: absorbed (exact in-task residual)
         # vs hint-only (pruning superset; Spark re-applies the filter)
         self._absorbed: list[tuple] = []
@@ -146,7 +160,18 @@ class OrcRsReader(DataSourceReader):
     def partitions(self):
         from orc_rs_spark.orcfile.spark_source import _plan_scan_threaded
 
-        work = _plan_scan_threaded(self.files, self._absorbed + self._hints or None)
+        preds = self._absorbed + self._hints or None
+        if self.evolve:
+            # no mixed-schema gate: compatibility was proven by the union
+            from concurrent.futures import ThreadPoolExecutor
+
+            from orc_rs_spark.orcfile.spark_source import _plan_file
+
+            with ThreadPoolExecutor(max_workers=min(32, len(self.files))) as ex:
+                plans = list(ex.map(lambda f: _plan_file(f, preds), self.files))
+            work = [(f, i) for f, _sig, keep in plans for i in keep]
+        else:
+            work = _plan_scan_threaded(self.files, preds)
         return [OrcStripePartition(f, i) for f, i in work] or [
             OrcStripePartition(self.files[0], -1)  # all stripes pruned
         ]
@@ -158,6 +183,20 @@ class OrcRsReader(DataSourceReader):
         if partition.stripe < 0:
             return
         r = OrcFileReader(partition.path)
+        if self.evolve:
+            from orc_rs_spark.orcfile.spark_source import evolve_decode_stripe
+
+            for batch in evolve_decode_stripe(
+                r, partition.stripe, self._target,
+                self._absorbed + self._hints or None, self.batch_rows,
+            ):
+                if self._absorbed:
+                    batch = _apply_residual(batch, self._absorbed)
+                if self._null_preds:
+                    batch = self._null_residual(batch)
+                if batch.num_rows:
+                    yield batch
+            return
         groups = None
         for p in self._absorbed + self._hints:
             form = predicate_form(p)
@@ -425,6 +464,10 @@ class OrcRsDataSource(DataSource):
         from orc_rs_spark.orcfile.reader import read_tail
         from orc_rs_spark.orcfile.spark_source import _orc_type_ddl
 
+        if _evolve_on(self.options):
+            from orc_rs_spark.orcfile.spark_source import evolve_target
+
+            return evolve_target(_resolve_files(self.options))[1]
         tail = read_tail(_resolve_files(self.options)[0])
         root = tail.footer.types[0]
         return ", ".join(

@@ -542,6 +542,31 @@ def _collect_fields_distributed(spark, files: list[str]) -> list[tuple[str, list
     ]
 
 
+def _finish_evolve_target(per_file: list, columns: list[str] | None) -> tuple[pa.Schema, str]:
+    target = _merge_fields(per_file)
+    if columns is not None:
+        known = {n for n, _ in target}
+        unknown = [c for c in columns if c not in known]
+        if unknown:
+            raise ValueError(f"unknown columns {unknown}; table has {sorted(known)}")
+        target = [(n, s) for n, s in target if n in columns]
+    schema = pa.schema([pa.field(n, _sig_arrow(s)) for n, s in target])
+    ddl = ", ".join(f"{f.name} {_pa_ddl(f.type)}" for f in schema)
+    return schema, ddl
+
+
+def evolve_target(files: list[str], columns: list[str] | None = None) -> tuple[pa.Schema, str]:
+    """(target arrow schema, Spark DDL) for an evolved scan — the union
+    of every file's top-level fields, widened, via a driver thread pool.
+    Shared by read_orc_evolve (small scans) and the data source's
+    evolve mode."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+        per_file = list(ex.map(lambda f: (f, _file_fields(read_tail(f))), files))
+    return _finish_evolve_target(per_file, columns)
+
+
 def read_orc_evolve(
     spark: SparkSession,
     path: str | list[str],
@@ -588,21 +613,10 @@ def read_orc_evolve(
     distributed = len(files) > DISTRIBUTED_PLAN_THRESHOLD
     if distributed:
         per_file = _collect_fields_distributed(spark, files)
+        target_schema, ddl = _finish_evolve_target(per_file, columns)
     else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
-            per_file = list(ex.map(lambda f: (f, _file_fields(read_tail(f))), files))
-    target = _merge_fields(per_file)
-    if columns is not None:
-        known = {n for n, _ in target}
-        unknown = [c for c in columns if c not in known]
-        if unknown:
-            raise ValueError(f"unknown columns {unknown}; table has {sorted(known)}")
-        target = [(n, s) for n, s in target if n in columns]
-    target_names = [n for n, _ in target]
-    target_schema = pa.schema([pa.field(n, _sig_arrow(s)) for n, s in target])
-    ddl = ", ".join(f"{f.name} {_pa_ddl(f.type)}" for f in target_schema)
+        target_schema, ddl = evolve_target(files, columns)
+    target_names = list(target_schema.names)
 
     par = spark.sparkContext.defaultParallelism
     if distributed:
@@ -637,59 +651,71 @@ def read_orc_evolve(
         ).repartition(scan_partitions(max(1, len(work)), par))
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.compute as pc
-
-        def adapt(batch: pa.RecordBatch) -> pa.RecordBatch:
-            arrays = []
-            for field in target_schema:
-                idx = batch.schema.get_field_index(field.name)
-                if idx < 0:
-                    arrays.append(pa.nulls(batch.num_rows, type=field.type))
-                elif batch.column(idx).type == field.type:
-                    arrays.append(batch.column(idx))
-                else:
-                    arrays.append(pc.cast(batch.column(idx), field.type, safe=False))
-            return pa.RecordBatch.from_arrays(arrays, names=target_names)
-
         readers: dict[str, OrcFileReader] = {}
         for b in batches:
             for f, i in zip(b.column("path").to_pylist(), b.column("stripe").to_pylist()):
                 if f not in readers:
                     readers[f] = OrcFileReader(f)
-                r = readers[f]
-                have = set(r.tail.footer.types[0].field_names)
-                cols = [c for c in target_names if c in have]
-                groups = None
-                if predicates:
-                    for p in predicates:
-                        form = predicate_form(p)
-                        if form[0] == "range":
-                            g = r.prune_row_groups(int(i), form[1], form[2], form[3])
-                        else:
-                            g = r.prune_row_groups_in(int(i), form[1], form[2])
-                        if g is not None:
-                            groups = g if groups is None else sorted(set(groups) & set(g))
-                    if groups == []:
-                        continue
-                if not cols:
-                    # the file predates EVERY requested column: emit typed
-                    # all-null batches, one per batch_rows rows
-                    n = r.tail.footer.stripes[int(i)].number_of_rows
-                    while n > 0:
-                        m = min(n, batch_rows)
-                        yield pa.RecordBatch.from_arrays(
-                            [pa.nulls(m, type=fld.type) for fld in target_schema],
-                            names=target_names,
-                        )
-                        n -= m
-                    continue
-                for batch in r.read_stripe_batches(
-                    int(i), cols, batch_rows=batch_rows, row_groups=groups
-                ):
-                    if batch.num_rows:
-                        yield adapt(_spark_friendly(batch))
+                yield from evolve_decode_stripe(
+                    readers[f], int(i), target_schema, predicates, batch_rows
+                )
 
     return stripe_df.mapInArrow(decode, ddl)
+
+
+def evolve_decode_stripe(r: OrcFileReader, i: int, target_schema: pa.Schema,
+                         predicates: list[tuple] | None,
+                         batch_rows: int) -> Iterator[pa.RecordBatch]:
+    """Decode one stripe ADAPTED to an evolved target schema: missing
+    fields come back as typed NULLs, narrower numerics widen via Arrow
+    casts, predicates prune where their column exists in this file.
+    Shared by read_orc_evolve's decode tasks and the data source's
+    evolve mode."""
+    import pyarrow.compute as pc
+
+    target_names = list(target_schema.names)
+
+    def adapt(batch: pa.RecordBatch) -> pa.RecordBatch:
+        arrays = []
+        for field in target_schema:
+            idx = batch.schema.get_field_index(field.name)
+            if idx < 0:
+                arrays.append(pa.nulls(batch.num_rows, type=field.type))
+            elif batch.column(idx).type == field.type:
+                arrays.append(batch.column(idx))
+            else:
+                arrays.append(pc.cast(batch.column(idx), field.type, safe=False))
+        return pa.RecordBatch.from_arrays(arrays, names=target_names)
+
+    have = set(r.tail.footer.types[0].field_names)
+    cols = [c for c in target_names if c in have]
+    groups = None
+    if predicates:
+        for p in predicates:
+            form = predicate_form(p)
+            if form[0] == "range":
+                g = r.prune_row_groups(i, form[1], form[2], form[3])
+            else:
+                g = r.prune_row_groups_in(i, form[1], form[2])
+            if g is not None:
+                groups = g if groups is None else sorted(set(groups) & set(g))
+        if groups == []:
+            return
+    if not cols:
+        # the file predates EVERY requested column: emit typed all-null
+        # batches, one per batch_rows rows
+        n = r.tail.footer.stripes[i].number_of_rows
+        while n > 0:
+            m = min(n, batch_rows)
+            yield pa.RecordBatch.from_arrays(
+                [pa.nulls(m, type=fld.type) for fld in target_schema],
+                names=target_names,
+            )
+            n -= m
+        return
+    for batch in r.read_stripe_batches(i, cols, batch_rows=batch_rows, row_groups=groups):
+        if batch.num_rows:
+            yield adapt(_spark_friendly(batch))
 
 
 def count_rows(path: str | list[str], spark: SparkSession | None = None) -> int:

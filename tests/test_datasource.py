@@ -244,3 +244,29 @@ def test_stream_reader_tails_directory(registered, tmp_path):
         assert (rows["n"], rows["s"]) == (1600, sum(range(1600)))
     finally:
         q.stop()
+
+
+def test_evolve_option(registered, tmp_path):
+    """.option("evolve","true"): the format unions evolved schemas —
+    missing columns as NULLs, widened ints, filters still pushed."""
+    import pyspark.sql.functions as F
+
+    spark = registered
+    out = str(tmp_path / "dsevolve")
+    spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id AS INT) AS v"
+    ).coalesce(1).write.format("orc_rs").mode("append").save(out)
+    spark.range(1000, 2000).selectExpr(
+        "id AS k", "CAST(id AS BIGINT) AS v", "CONCAT('e', id) AS extra"
+    ).coalesce(1).write.format("orc_rs").mode("append").save(out)
+    back = spark.read.format("orc_rs").option("evolve", "true").load(out)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "bigint", "bigint", "string"
+    ]
+    assert back.count() == 2000
+    assert back.where("extra IS NULL").count() == 1000
+    got = back.where(F.col("k") == 1500).collect()
+    assert len(got) == 1 and got[0]["extra"] == "e1500"
+    # strict mode still refuses the mixed directory
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.read.format("orc_rs").load(out).count()
