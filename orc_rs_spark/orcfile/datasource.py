@@ -301,11 +301,16 @@ class OrcRsWriter(DataSourceArrowWriter):
     mode never collides with an earlier job's part files."""
 
     def __init__(self, options, schema, overwrite: bool):
+        import time
         import uuid
 
         self.opts = _WriteOptions(options)
         self.overwrite = overwrite
-        self.job_token = uuid.uuid4().hex[:8]
+        # time-ordered + random: unique across jobs AND lexicographically
+        # increasing across sequential appends, so the streaming reader's
+        # name-watermark offset never sorts a newer job's files below an
+        # older one's (a bare uuid token broke that ordering)
+        self.job_token = f"{time.time_ns():016x}{uuid.uuid4().hex[:4]}"
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> OrcWriteMessage:
         pid, attempt = _task_ids()
