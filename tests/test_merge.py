@@ -289,3 +289,36 @@ def test_merge_file_stats_honest_when_input_statless():
     parsed = ColumnStatistics.parse(bodies[1])
     assert (parsed.number_of_values, parsed.has_null) == (8, True)
     assert (parsed.int_min, parsed.int_max) == (-4, 9)
+
+
+def test_merge_property_random_splits(tmp_path):
+    """Property: for random (table, split points, stripe size), merging
+    the parts reproduces the concatenation exactly and count_rows agrees
+    with the footer."""
+    from orc_rs_spark.orcfile.spark_source import count_rows
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(10, 2500))
+        tbl = pa.table({
+            "k": rng.integers(-(1 << 40), 1 << 40, n),
+            "s": pa.array(
+                [None if rng.random() < 0.1 else f"s{int(v)}"
+                 for v in rng.integers(0, 50, n)], type=pa.string()),
+            "f": rng.normal(size=n),
+        })
+        k_files = int(rng.integers(2, 5))
+        cuts = sorted(rng.integers(0, n + 1, k_files - 1).tolist())
+        bounds = [0] + cuts + [n]
+        paths = []
+        stripe_rows = int(rng.integers(7, 900))
+        for j in range(k_files):
+            p = str(tmp_path / f"t{trial}_{j}.orc")
+            part = tbl.slice(bounds[j], bounds[j + 1] - bounds[j])
+            write_orc(part, p, stripe_rows=stripe_rows, row_index_stride=64)
+            paths.append(p)
+        out = str(tmp_path / f"t{trial}_m.orc")
+        rows = merge_orc_files(paths, out)
+        assert rows == n == count_rows(out)
+        got = OrcFileReader(out).read_all().combine_chunks()
+        assert got.cast(tbl.schema).equals(tbl.combine_chunks()), f"trial {trial}"
