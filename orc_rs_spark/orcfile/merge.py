@@ -302,7 +302,8 @@ def plan_compaction(sizes: list[tuple[str, int]], target_bytes: int) -> list[lis
 
 
 def compact_orc_dir(spark, in_dir: str, out_dir: str,
-                    target_bytes: int = 256 << 20) -> int:
+                    target_bytes: int = 256 << 20,
+                    group_by_schema: bool = False) -> int:
     """Distributed small-files compaction: bin part files to
     ~target_bytes and merge each bin in its own task (raw stripe copy —
     no decode, so a task's cost is pure I/O). The driver touches only
@@ -310,7 +311,15 @@ def compact_orc_dir(spark, in_dir: str, out_dir: str,
     and byte copy happens in tasks. Output files commit via
     attempt-unique temp + atomic rename (same protocol as
     write_orc_dir), so retried/speculative attempts never interleave.
-    Returns total rows written."""
+    Returns total rows written.
+
+    ``group_by_schema=True`` compacts a directory whose schema EVOLVED
+    over time: files are first grouped by (schema signature,
+    compression, rowIndexStride) — one driver-side thread-pooled tail
+    read per file, the one case where planning must look past the
+    listing — and each generation compacts into its own single-schema
+    output files, which ``read_orc_evolve`` / the format's evolve mode
+    then read as one table."""
     import glob as _glob
     import json
     from collections.abc import Iterator
@@ -321,7 +330,31 @@ def compact_orc_dir(spark, in_dir: str, out_dir: str,
     files = sorted(_glob.glob(os.path.join(in_dir, "*.orc")))
     if not files:
         raise ValueError(f"compact_orc_dir: no ORC files in {in_dir}")
-    groups = plan_compaction([(f, os.path.getsize(f)) for f in files], target_bytes)
+    if group_by_schema:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            keys = list(ex.map(
+                lambda f: (
+                    schema_signature(t := read_tail(f)),
+                    t.postscript.compression,
+                    t.postscript.compression_block_size,
+                    t.footer.row_index_stride,
+                ),
+                files,
+            ))
+        by_key: dict = {}
+        for f, k in zip(files, keys):
+            by_key.setdefault(k, []).append(f)
+        groups = [
+            g
+            for key in sorted(by_key, key=str)
+            for g in plan_compaction(
+                [(f, os.path.getsize(f)) for f in by_key[key]], target_bytes
+            )
+        ]
+    else:
+        groups = plan_compaction([(f, os.path.getsize(f)) for f in files], target_bytes)
     os.makedirs(out_dir, exist_ok=True)
 
     rows = [(gid, json.dumps(paths)) for gid, paths in enumerate(groups)]

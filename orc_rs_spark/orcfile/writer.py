@@ -505,7 +505,12 @@ class OrcWriter:
                     raise ValueError(f"bloom filters unsupported for {kind} column {name!r}")
                 self.bloom_cols[sub] = pos
         self.row_index_stride = row_index_stride
-        self.codec_enum = {"none": 0, "zlib": 1}[compression]
+        # zlib is the only real encoder in this environment; snappy/lz4/
+        # zstd write VALID files whose every block uses the ORC framing's
+        # is-original escape (codec-independent) — for pipelines that
+        # require a specific codec TAG, with no size win (documented in
+        # blockcomp.block_compress). lzo has no decoder here either way.
+        self.codec_enum = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}[compression]
         self._f = open(path, "wb")
         self._f.write(b"ORC")
         self._pos = 3

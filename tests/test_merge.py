@@ -322,3 +322,47 @@ def test_merge_property_random_splits(tmp_path):
         assert rows == n == count_rows(out)
         got = OrcFileReader(out).read_all().combine_chunks()
         assert got.cast(tbl.schema).equals(tbl.combine_chunks()), f"trial {trial}"
+
+
+@pytest.mark.spark
+def test_compact_group_by_schema(spark, tmp_path):
+    """Evolved directory compaction: files group by schema generation,
+    each generation compacts alone, and the evolved reader sees one
+    table over the compacted output."""
+    import glob
+
+    from orc_rs_spark.orcfile.merge import compact_orc_dir
+    from orc_rs_spark.orcfile.spark_source import read_orc_evolve
+
+    src = str(tmp_path / "gens")
+    import os
+
+    os.makedirs(src)
+    # generation 1: (k, v:int) in 3 small files; generation 2 adds s
+    for j in range(3):
+        t = pa.table({
+            "k": np.arange(j * 100, (j + 1) * 100, dtype=np.int64),
+            "v": np.arange(j * 100, (j + 1) * 100, dtype=np.int32),
+        })
+        write_orc(t, f"{src}/part-a{j}.orc")
+    for j in range(2):
+        t = pa.table({
+            "k": np.arange(300 + j * 100, 400 + j * 100, dtype=np.int64),
+            "v": np.arange(300 + j * 100, 400 + j * 100, dtype=np.int64),
+            "s": pa.array([f"x{i}" for i in range(100)], type=pa.string()),
+        })
+        write_orc(t, f"{src}/part-b{j}.orc")
+    # without grouping the task-side merge refuses (Spark wraps the error)
+    with pytest.raises(Exception, match="schema mismatch"):
+        compact_orc_dir(spark, src, str(tmp_path / "nope"), target_bytes=1 << 30)
+    out = str(tmp_path / "gens_compact")
+    n = compact_orc_dir(spark, src, out, target_bytes=1 << 30,
+                        group_by_schema=True)
+    assert n == 500
+    assert len(glob.glob(f"{out}/*.orc")) == 2  # one file per generation
+    df = read_orc_evolve(spark, out)
+    rows = df.orderBy("k").collect()
+    assert [r["k"] for r in rows] == list(range(500))
+    assert [r["v"] for r in rows] == list(range(500))
+    assert all(r["s"] is None for r in rows[:300])
+    assert rows[300]["s"] == "x0"

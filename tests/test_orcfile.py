@@ -239,7 +239,7 @@ def _writer_table():
     )
 
 
-@pytest.mark.parametrize("codec", ["zlib", "none"])
+@pytest.mark.parametrize("codec", ["zlib", "none", "snappy", "lz4", "zstd"])
 def test_writer_roundtrip_own_reader(codec, tmp_path):
     """write_orc -> OrcFileReader reproduces the table exactly (all types,
     nulls at every level, multiple stripes)."""
@@ -283,7 +283,7 @@ def test_writer_timestamps_roundtrip_own_reader(tmp_path):
 
 
 @pytest.mark.spark
-@pytest.mark.parametrize("codec", ["zlib", "none"])
+@pytest.mark.parametrize("codec", ["zlib", "none", "snappy", "zstd"])
 def test_writer_read_by_spark_native(spark, codec, tmp_path):
     """The cross-engine proof: Spark's JVM ORC reader reads OUR files."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
