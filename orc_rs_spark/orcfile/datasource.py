@@ -20,9 +20,11 @@ hands the rest back for Spark to re-apply. Usage::
     df.write.format("orc_rs").option("bloom_columns", "o_custkey") \\
         .mode("overwrite").save("/data/orders_orc")
 
-Options: ``compression`` (zlib|none, write), ``stripe_rows``,
-``row_index_stride``, ``bloom_columns`` (comma-separated, write),
-``batch_rows`` (read).
+Options: ``compression`` (zlib|none with a real encoder; snappy/lz4/
+zstd write valid tag-only files via the is-original escape — see
+writer.py), ``stripe_rows``, ``row_index_stride``, ``bloom_columns``
+(comma-separated, write), ``batch_rows`` (read), ``evolve`` (read /
+readStream: union evolved schemas instead of refusing mixed dirs).
 
 Planning runs on the driver with the thread-pooled tail reader (the
 data source API plans inside Spark's job machinery, so the distributed
@@ -88,8 +90,14 @@ def _evolve_on(options) -> bool:
     return str(options.get("evolve", "false")).lower() in ("true", "1")
 
 
+def _evolve_full(options) -> "pa.Schema":
+    from orc_rs_spark.orcfile.spark_source import evolve_target
+
+    return evolve_target(_resolve_files(options))[0]
+
+
 class OrcRsReader(DataSourceReader):
-    def __init__(self, options, schema):
+    def __init__(self, options, schema, evolve_full=None):
         self.options = options
         self.files = _resolve_files(options)
         self.batch_rows = int(options.get("batch_rows", 65536))
@@ -98,9 +106,14 @@ class OrcRsReader(DataSourceReader):
         self._target = None
         if self.evolve:
             # evolved target schema, trimmed/ordered to the read schema
-            from orc_rs_spark.orcfile.spark_source import evolve_target
-
-            full, _ = evolve_target(self.files)
+            # (one union computation — the DataSource caches it so
+            # schema() and reader() don't each re-read every tail)
+            full = evolve_full if evolve_full is not None else _evolve_full(options)
+            missing = [c for c in self.columns if c not in full.names]
+            if missing:
+                raise ValueError(
+                    f"unknown columns {missing}; table has {sorted(full.names)}"
+                )
             self._target = pa.schema([
                 full.field(full.names.index(c)) for c in self.columns
             ])
@@ -161,17 +174,9 @@ class OrcRsReader(DataSourceReader):
         from orc_rs_spark.orcfile.spark_source import _plan_scan_threaded
 
         preds = self._absorbed + self._hints or None
-        if self.evolve:
-            # no mixed-schema gate: compatibility was proven by the union
-            from concurrent.futures import ThreadPoolExecutor
-
-            from orc_rs_spark.orcfile.spark_source import _plan_file
-
-            with ThreadPoolExecutor(max_workers=min(32, len(self.files))) as ex:
-                plans = list(ex.map(lambda f: _plan_file(f, preds), self.files))
-            work = [(f, i) for f, _sig, keep in plans for i in keep]
-        else:
-            work = _plan_scan_threaded(self.files, preds)
+        # evolve: no mixed-schema gate — compatibility was proven by the union
+        work = _plan_scan_threaded(self.files, preds,
+                                   require_uniform=not self.evolve)
         return [OrcStripePartition(f, i) for f, i in work] or [
             OrcStripePartition(self.files[0], -1)  # all stripes pruned
         ]
@@ -189,6 +194,7 @@ class OrcRsReader(DataSourceReader):
             for batch in evolve_decode_stripe(
                 r, partition.stripe, self._target,
                 self._absorbed + self._hints or None, self.batch_rows,
+                null_preds=self._null_preds or None,
             ):
                 if self._absorbed:
                     batch = _apply_residual(batch, self._absorbed)
@@ -349,7 +355,8 @@ class OrcRsStreamWriter(DataSourceStreamArrowWriter):
     .format("orc_rs")``. Exactly-once by construction — tasks write
     attempt-unique temp files, and the driver's per-micro-batch
     ``commit(messages, batchId)`` renames them to batch-id-keyed names
-    (``part-{batch:08d}-{pid:05d}.orc``) and then sweeps any OTHER file
+    (``part-{time}-b{batch:08d}-{pid:05d}.orc``; the time prefix is
+    chosen once per batch and reused on replay) and then sweeps any OTHER file
     of the same batch id (a replayed batch that re-partitioned
     differently must replace the whole batch, not just the partitions
     it happens to share), so a restart between sink commit and
@@ -370,17 +377,27 @@ class OrcRsStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         import glob as _glob
+        import time
 
+        # final names carry a time-ordered prefix chosen once per batch —
+        # REUSED on a replay (idempotent names) — so files from this sink
+        # and from batch append jobs (also time_ns-prefixed) sort
+        # consistently by commit time, and a tailing stream's name
+        # watermark never skips either kind
+        tag = f"b{batchId:08d}"
+        stale = _glob.glob(os.path.join(self.opts.path, f"part-*-{tag}-*.orc"))
+        prefix = (os.path.basename(stale[0]).split("-")[1] if stale
+                  else f"{time.time_ns():016x}")
         finals = set()
         for m in messages:
             if m and m.tmp:
                 final = os.path.join(
-                    self.opts.path, f"part-{batchId:08d}-{m.final}.orc"
+                    self.opts.path, f"part-{prefix}-{tag}-{m.final}.orc"
                 )
                 os.replace(m.tmp, final)
                 finals.add(final)
         # replay with fewer partitions: drop the earlier attempt's extras
-        for f in _glob.glob(os.path.join(self.opts.path, f"part-{batchId:08d}-*.orc")):
+        for f in stale:
             if f not in finals:
                 os.remove(f)
 
@@ -416,6 +433,24 @@ class OrcRsStreamReader(DataSourceStreamReader):
         self.batch_rows = int(options.get("batch_rows", 65536))
         self.columns = [f.name for f in schema.fields]
         self._glob = _glob
+        # evolve: adapt every micro-batch to the union-at-start schema so
+        # a generation change mid-directory cannot wedge the stream (the
+        # strict default fails a micro-batch spanning two schemas, and
+        # Spark would retry the same offsets forever); columns added
+        # AFTER the stream starts appear on restart, like Spark's own
+        # file sources
+        self.evolve = _evolve_on(options)
+        self._target = None
+        if self.evolve:
+            full = _evolve_full(options)
+            missing = [c for c in self.columns if c not in full.names]
+            if missing:
+                raise ValueError(
+                    f"unknown columns {missing}; table has {sorted(full.names)}"
+                )
+            self._target = pa.schema([
+                full.field(full.names.index(c)) for c in self.columns
+            ])
 
     def _names(self) -> list[str]:
         return sorted(
@@ -439,14 +474,22 @@ class OrcRsStreamReader(DataSourceStreamReader):
         ]
         if not files:
             return []
-        work = _plan_scan_threaded(files, None)
+        work = _plan_scan_threaded(files, None, require_uniform=not self.evolve)
         return [OrcStripePartition(f, i) for f, i in work]
 
     def read(self, partition: OrcStripePartition):
         from orc_rs_spark.orcfile.reader import OrcFileReader
-        from orc_rs_spark.orcfile.spark_source import _spark_friendly
+        from orc_rs_spark.orcfile.spark_source import (
+            _spark_friendly,
+            evolve_decode_stripe,
+        )
 
         r = OrcFileReader(partition.path)
+        if self.evolve:
+            yield from evolve_decode_stripe(
+                r, partition.stripe, self._target, None, self.batch_rows
+            )
+            return
         for batch in r.read_stripe_batches(
             partition.stripe, self.columns, batch_rows=self.batch_rows
         ):
@@ -469,11 +512,20 @@ class OrcRsDataSource(DataSource):
         from orc_rs_spark.orcfile.reader import read_tail
         from orc_rs_spark.orcfile.spark_source import _orc_type_ddl
 
+        try:
+            files = _resolve_files(self.options)
+        except ValueError as e:
+            raise ValueError(
+                f"{e} — to start tailing a directory a sink has not "
+                "populated yet, pass an explicit .schema(...)"
+            ) from None
         if _evolve_on(self.options):
             from orc_rs_spark.orcfile.spark_source import evolve_target
 
-            return evolve_target(_resolve_files(self.options))[1]
-        tail = read_tail(_resolve_files(self.options)[0])
+            full, ddl = evolve_target(files)
+            self._evolve_cache = full  # reused by reader(): one union pass
+            return ddl
+        tail = read_tail(files[0])
         root = tail.footer.types[0]
         return ", ".join(
             f"{n} {_orc_type_ddl(tail.footer.types, s, scan=True)}"
@@ -481,7 +533,8 @@ class OrcRsDataSource(DataSource):
         )
 
     def reader(self, schema) -> OrcRsReader:
-        return OrcRsReader(self.options, schema)
+        return OrcRsReader(self.options, schema,
+                           evolve_full=getattr(self, "_evolve_cache", None))
 
     def writer(self, schema, overwrite: bool) -> OrcRsWriter:
         return OrcRsWriter(self.options, schema, overwrite)

@@ -198,9 +198,12 @@ def _plan_file(f: str, predicates: list[tuple] | None) -> tuple[str, tuple, list
 DISTRIBUTED_PLAN_THRESHOLD = 512
 
 
-def _plan_scan_threaded(files, predicates) -> list[tuple[str, int]]:
+def _plan_scan_threaded(files, predicates,
+                        require_uniform: bool = True) -> list[tuple[str, int]]:
     """(file, stripe) work units via a driver thread pool (I/O-bound, GIL
-    released in file reads), with mixed-schema detection on the driver."""
+    released in file reads), with mixed-schema detection on the driver.
+    ``require_uniform=False`` skips the gate for evolved scans whose
+    compatibility was already proven via the schema union."""
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
@@ -210,7 +213,9 @@ def _plan_scan_threaded(files, predicates) -> list[tuple[str, int]]:
     for f, sig, keep in plans:
         # one scan = one schema: a mixed-schema directory must fail HERE
         # with file names, not mid-task with an opaque Arrow type error
-        if schema_sig is None:
+        if not require_uniform:
+            pass
+        elif schema_sig is None:
             schema_sig, sig_file = sig, f
         elif sig != schema_sig:
             raise ValueError(
@@ -640,12 +645,7 @@ def read_orc_evolve(
             4 * max(1, par)
         )
     else:
-        work: list[tuple[str, int]] = []
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
-            for f, _sig, keep in ex.map(lambda f: _plan_file(f, predicates), files):
-                work.extend((f, i) for i in keep)
+        work = _plan_scan_threaded(files, predicates, require_uniform=False)
         stripe_df = spark.createDataFrame(
             [(f, int(i)) for f, i in work], "path string, stripe bigint"
         ).repartition(scan_partitions(max(1, len(work)), par))
@@ -665,12 +665,15 @@ def read_orc_evolve(
 
 def evolve_decode_stripe(r: OrcFileReader, i: int, target_schema: pa.Schema,
                          predicates: list[tuple] | None,
-                         batch_rows: int) -> Iterator[pa.RecordBatch]:
+                         batch_rows: int,
+                         null_preds: list[tuple] | None = None) -> Iterator[pa.RecordBatch]:
     """Decode one stripe ADAPTED to an evolved target schema: missing
     fields come back as typed NULLs, narrower numerics widen via Arrow
     casts, predicates prune where their column exists in this file.
-    Shared by read_orc_evolve's decode tasks and the data source's
-    evolve mode."""
+    ``null_preds`` is ``[(column, want_null), ...]`` — IS [NOT] NULL
+    tests pruned through the group stats the same way (a file missing
+    the column decodes unpruned; its rows are NULL there). Shared by
+    read_orc_evolve's decode tasks and the data source's evolve mode."""
     import pyarrow.compute as pc
 
     target_names = list(target_schema.names)
@@ -690,13 +693,17 @@ def evolve_decode_stripe(r: OrcFileReader, i: int, target_schema: pa.Schema,
     have = set(r.tail.footer.types[0].field_names)
     cols = [c for c in target_names if c in have]
     groups = None
-    if predicates:
-        for p in predicates:
+    if predicates or null_preds:
+        for p in predicates or []:
             form = predicate_form(p)
             if form[0] == "range":
                 g = r.prune_row_groups(i, form[1], form[2], form[3])
             else:
                 g = r.prune_row_groups_in(i, form[1], form[2])
+            if g is not None:
+                groups = g if groups is None else sorted(set(groups) & set(g))
+        for col, want_null in null_preds or []:
+            g = r.prune_row_groups_null(i, col, want_null)
             if g is not None:
                 groups = g if groups is None else sorted(set(groups) & set(g))
         if groups == []:

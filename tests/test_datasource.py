@@ -142,9 +142,9 @@ def test_stream_writer_exactly_once(registered, tmp_path):
     assert back.count() == 1800
     assert back.selectExpr("sum(id)").collect()[0][0] == sum(range(1800))
     assert not glob.glob(f"{out}/*.tmp") and not glob.glob(f"{out}/.stream-*")
-    # files are batch-id keyed
+    # files are batch-id keyed under a time-ordered prefix
     names = sorted(glob.glob(f"{out}/part-*.orc"))
-    assert names and all("part-0000" in n for n in names)
+    assert names and all("-b0000" in n for n in names)
 
 
 def test_append_mode_never_clobbers(registered, tmp_path):
@@ -210,12 +210,16 @@ def test_stream_replay_with_fewer_partitions(registered, tmp_path):
     # first attempt of batch 3: 4 partitions
     msgs = [fake_task(pid, 10) for pid in range(4)]
     w.commit(msgs, batchId=3)
-    assert len(glob.glob(f"{out}/part-00000003-*.orc")) == 4
+    first = sorted(glob.glob(f"{out}/part-*-b00000003-*.orc"))
+    assert len(first) == 4
     # replay of batch 3 with only 2 partitions
     msgs = [fake_task(pid, 25) for pid in range(2)]
     w.commit(msgs, batchId=3)
-    files = sorted(glob.glob(f"{out}/part-00000003-*.orc"))
+    files = sorted(glob.glob(f"{out}/part-*-b00000003-*.orc"))
     assert len(files) == 2  # stale 00002/00003 swept
+    # replay REUSED the original time prefix: identical names, no
+    # watermark-visible churn for a downstream tailing stream
+    assert files == first[:2]
     from orc_rs_spark.orcfile.reader import OrcFileReader
 
     assert sum(OrcFileReader(f).read_all().num_rows for f in files) == 50
@@ -270,3 +274,68 @@ def test_evolve_option(registered, tmp_path):
     # strict mode still refuses the mixed directory
     with pytest.raises(Exception, match="schema mismatch"):
         spark.read.format("orc_rs").load(out).count()
+
+
+def test_stream_reader_mixed_producers(registered, tmp_path):
+    """Review finding: batch appends and the streaming sink must
+    interleave safely under the name-watermark — both now carry
+    time-ordered prefixes, so a tail sees every file from both."""
+    spark = registered
+    out = str(tmp_path / "mixed")
+    cp1, cp2 = str(tmp_path / "mcp1"), str(tmp_path / "mcp2")
+    # producer A: streaming sink writes 0..999
+    psrc = str(tmp_path / "msrc")
+    spark.range(0, 1000).toDF("k").write.parquet(psrc)
+    q = (spark.readStream.schema("k bigint").parquet(psrc)
+         .writeStream.format("orc_rs").option("path", out)
+         .option("checkpointLocation", cp1).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # producer B: batch append writes 1000..1499
+    spark.range(1000, 1500).toDF("k").coalesce(1) \
+        .write.format("orc_rs").mode("append").save(out)
+    # producer A again: streaming sink appends 1500..1999
+    spark.range(1500, 2000).toDF("k").write.mode("append").parquet(psrc)
+    q = (spark.readStream.schema("k bigint").parquet(psrc)
+         .writeStream.format("orc_rs").option("path", out)
+         .option("checkpointLocation", cp1).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # tail the mixed directory from scratch: nothing may be skipped
+    q2 = (spark.readStream.format("orc_rs").load(out)
+          .writeStream.format("memory").queryName("mixed_sink")
+          .option("checkpointLocation", cp2).start())
+    q2.processAllAvailable()
+    r = spark.sql("SELECT COUNT(*) n, SUM(k) s FROM mixed_sink").collect()[0]
+    q2.stop()
+    assert (r["n"], r["s"]) == (2000, sum(range(2000)))
+
+
+def test_stream_reader_evolve_option(registered, tmp_path):
+    """Review finding: a schema generation change must not wedge the
+    stream — evolve mode adapts every micro-batch to the union."""
+    spark = registered
+    out = str(tmp_path / "sevolve")
+    cp = str(tmp_path / "secp")
+    spark.range(0, 500).selectExpr("id AS k", "CAST(id AS INT) AS v") \
+        .coalesce(1).write.format("orc_rs").mode("append").save(out)
+    spark.range(500, 1000).selectExpr(
+        "id AS k", "CAST(id AS BIGINT) AS v", "CONCAT('x', id) AS extra"
+    ).coalesce(1).write.format("orc_rs").mode("append").save(out)
+    q = (spark.readStream.format("orc_rs").option("evolve", "true").load(out)
+         .writeStream.format("memory").queryName("se_sink")
+         .option("checkpointLocation", cp).start())
+    q.processAllAvailable()
+    r = spark.sql(
+        "SELECT COUNT(*) n, SUM(v) s, COUNT(extra) e FROM se_sink"
+    ).collect()[0]
+    q.stop()
+    assert (r["n"], r["s"], r["e"]) == (1000, sum(range(1000)), 500)
+
+
+def test_empty_dir_schema_hint(registered, tmp_path):
+    import os
+
+    spark = registered
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(Exception, match="schema"):
+        spark.read.format("orc_rs").load(empty).count()
