@@ -416,13 +416,18 @@ class OrcRsStreamReader(DataSourceStreamReader):
 
     Offset = the lexicographically-largest file name seen (``{"last":
     name}``), so the directory must grow append-only with sortable
-    names — exactly what this package's own sinks produce
-    (``part-{job}-{pid}``, ``part-{batch:08d}-{pid}``). The offset
+    names — exactly what this package's own sinks produce: both the
+    batch writer (``part-{time_ns-hex+rand}-{pid}``) and the streaming
+    sink (``part-{time_ns-hex}-b{batch:08d}-{pid}``, prefix fixed at
+    first commit of the batch) lead with a time_ns hex prefix, so files
+    from EITHER producer, interleaved, sort by commit time. The offset
     stays O(1) however many files accumulate — a seen-file SET would
     grow with the table and be checkpointed every batch. Files that
     sort below the watermark are assumed immutable-and-processed (the
     rename-on-commit sinks guarantee a file is complete the moment it
-    is visible)."""
+    is visible). Remaining caveat: two CONCURRENT batch append jobs can
+    commit out of token order; don't tail a directory with overlapping
+    batch writers (the streaming sink serializes its own commits)."""
 
     def __init__(self, options, schema):
         import glob as _glob
