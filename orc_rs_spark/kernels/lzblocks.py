@@ -1,4 +1,4 @@
-"""Snappy and LZ4 *block* decompressors, pure Python from the public format
+"""Snappy and LZ4 *block* codecs, pure Python/NumPy from the public format
 specs (no snappy/lz4 library exists in this container; same spirit as
 building RLEv2 patched-base from spec).
 
@@ -7,16 +7,20 @@ building RLEv2 patched-base from spec).
   back-references (1/2/4-byte offsets).
 - LZ4 block format: lz4/lz4 lz4_Block_format.md — token byte with literal
   and match-length nibbles (15 => 255-extension bytes), 2-byte LE offset,
-  minimum match 4, overlap-copy allowed.
+  minimum match 4, overlap-copy allowed; last 5 bytes are literals and the
+  last match starts >= 12 bytes before the end.
 
-These are decode-only (the reference is decode-only for these codecs too:
-/root/reference/src/compression.rs:150-193). Throughput is Python-loop
-bound (~tens of MB/s) — fine for footers and test-scale stripes; the
-production encode path of this engine uses zlib where a C implementation
-exists in the stdlib.
+The reference is decode-only for these codecs
+(/root/reference/src/compression.rs:150-193); this module carries both
+directions. Decoders are Python-loop bound (~tens of MB/s — fine for
+footers and test-scale stripes); ENCODERS share the vectorized greedy
+matcher in kernels/lz77.py (snappy's own single-probe hash heuristic,
+NumPy-extended matches, one Python iteration per emitted token).
 """
 
 from __future__ import annotations
+
+from orc_rs_spark.kernels.lz77 import greedy_matches
 
 
 def snappy_decompress(data: bytes) -> bytes:
@@ -138,4 +142,112 @@ def lz4_block_decompress(data: bytes, max_size: int | None = None) -> bytes:
                 out.append(out[start + i])
         if max_size is not None and len(out) > max_size:
             raise ValueError("lz4: output exceeds declared size")
+    return bytes(out)
+
+
+def _snappy_varint(n: int) -> bytes:
+    out = bytearray()
+    while n >= 0x80:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
+def _snappy_literal(out: bytearray, chunk: memoryview) -> None:
+    l = len(chunk) - 1
+    if l < 60:
+        out.append(l << 2)
+    elif l < (1 << 8):
+        out.append(60 << 2)
+        out += l.to_bytes(1, "little")
+    elif l < (1 << 16):
+        out.append(61 << 2)
+        out += l.to_bytes(2, "little")
+    elif l < (1 << 24):
+        out.append(62 << 2)
+        out += l.to_bytes(3, "little")
+    else:
+        out.append(63 << 2)
+        out += l.to_bytes(4, "little")
+    out += chunk
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Compress one snappy block (raw format). Matches are snappy-grade
+    (single hash probe, greedy, copies capped at the format's 64-byte op
+    limit); every byte not covered by a match is emitted as a literal, so
+    round-trip identity holds for arbitrary input."""
+    src = memoryview(data)
+    out = bytearray(_snappy_varint(len(data)))
+    # offsets capped at 64 KiB: google/snappy compresses 64 KiB fragments
+    # internally so conforming encoders never need far copies, and a
+    # 4-byte-offset copy op costs 5 bytes — a net loss at match length 4
+    pos, offs, lens = greedy_matches(data, max_offset=65535, max_match=64)
+    last = 0
+    for j, off, L in zip(pos.tolist(), offs.tolist(), lens.tolist()):
+        if j > last:
+            _snappy_literal(out, src[last:j])
+        if 4 <= L <= 11 and off < 2048:
+            out.append(1 | ((L - 4) << 2) | ((off >> 8) << 5))
+            out.append(off & 0xFF)
+        elif off < (1 << 16):
+            out.append(2 | ((L - 1) << 2))
+            out += off.to_bytes(2, "little")
+        else:
+            out.append(3 | ((L - 1) << 2))
+            out += off.to_bytes(4, "little")
+        last = j + L
+    if last < len(data):
+        _snappy_literal(out, src[last:])
+    return bytes(out)
+
+
+def _lz4_seq(out: bytearray, lits: memoryview, off: int, mlen: int) -> None:
+    ll = len(lits)
+    ml = mlen - 4  # match-length nibble bias
+    token = (min(ll, 15) << 4) | min(ml, 15)
+    out.append(token)
+    if ll >= 15:
+        rem = ll - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += lits
+    out += off.to_bytes(2, "little")
+    if ml >= 15:
+        rem = ml - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """Compress one LZ4 block (block format, no frame header), honouring
+    the spec's end-of-block rules (final 5 bytes literal, last match
+    starts >= 12 bytes from the end) so any conforming decoder — ours or
+    a native one — accepts the output."""
+    src = memoryview(data)
+    n = len(data)
+    out = bytearray()
+    pos, offs, lens = greedy_matches(
+        data, max_offset=65535, max_match=273,
+        last_match_start_margin=12, match_end_margin=5)
+    last = 0
+    for j, off, L in zip(pos.tolist(), offs.tolist(), lens.tolist()):
+        _lz4_seq(out, src[last:j], off, L)
+        last = j + L
+    # final literals-only sequence
+    lits = src[last:]
+    ll = len(lits)
+    out.append(min(ll, 15) << 4)
+    if ll >= 15:
+        rem = ll - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += lits
     return bytes(out)

@@ -20,9 +20,9 @@ hands the rest back for Spark to re-apply. Usage::
     df.write.format("orc_rs").option("bloom_columns", "o_custkey") \\
         .mode("overwrite").save("/data/orders_orc")
 
-Options: ``compression`` (zlib|none with a real encoder; snappy/lz4/
-zstd write valid tag-only files via the is-original escape — see
-writer.py), ``stripe_rows``, ``row_index_stride``, ``bloom_columns``
+Options: ``compression`` (none|zlib|snappy|lz4|zstd — every tag has a
+real encoder, see kernels/blockcomp.py), ``stripe_rows``,
+``row_index_stride``, ``bloom_columns``
 (comma-separated, write), ``batch_rows`` (read), ``evolve`` (read /
 readStream: union evolved schemas instead of refusing mixed dirs).
 

@@ -505,11 +505,12 @@ class OrcWriter:
                     raise ValueError(f"bloom filters unsupported for {kind} column {name!r}")
                 self.bloom_cols[sub] = pos
         self.row_index_stride = row_index_stride
-        # zlib is the only real encoder in this environment; snappy/lz4/
-        # zstd write VALID files whose every block uses the ORC framing's
-        # is-original escape (codec-independent) — for pipelines that
-        # require a specific codec TAG, with no size win (documented in
-        # blockcomp.block_compress). lzo has no decoder here either way.
+        # all four codec tags have REAL encoders: zlib (stdlib raw
+        # deflate), snappy + lz4 (from-spec NumPy, kernels/lzblocks.py),
+        # zstd (from-spec frames, kernels/zstd_enc.py) — native codec
+        # libraries are preferred automatically when importable
+        # (kernels/blockcomp.py registry). lzo has no decoder in the
+        # reference's environment either and is rejected here.
         self.codec_enum = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}[compression]
         self._f = open(path, "wb")
         self._f.write(b"ORC")

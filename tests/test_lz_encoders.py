@@ -1,0 +1,235 @@
+"""From-spec snappy / LZ4-block / zstd ENCODERS (kernels/lzblocks.py,
+kernels/zstd_enc.py, matcher in kernels/lz77.py).
+
+The reference decodes these codecs but never encodes
+(/root/reference/src/compression.rs:150-212); these tests pin the encode
+direction: round-trip identity through our own from-spec decoders,
+real size wins on compressible data, spec edge rules (LZ4 end-of-block
+margins, snappy 64-byte op cap), the codec registry's native-library
+escape hatch, and ORC-file-level interop (JVM read test lives in
+tests/test_spark_roundtrip.py::test_jvm_reads_lz_codecs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from orc_rs_spark.kernels.blockcomp import (
+    NATIVE_CODECS,
+    block_compress,
+    block_decompress,
+)
+from orc_rs_spark.kernels.lz77 import greedy_matches
+from orc_rs_spark.kernels.lzblocks import (
+    lz4_block_compress,
+    lz4_block_decompress,
+    snappy_compress,
+    snappy_decompress,
+)
+from orc_rs_spark.kernels.zstd import zstd_decompress
+from orc_rs_spark.kernels.zstd_enc import zstd_compress
+
+TEXT = (
+    b"the quick brown fox jumps over the lazy dog; "
+    b"pack my box with five dozen liquor jugs; "
+) * 400
+RUNS = b"A" * 5000 + b"B" * 3 + b"C" * 7000 + os.urandom(64) + b"D" * 4096
+
+
+def _cases():
+    rng = np.random.default_rng(11)
+    return [
+        b"",
+        b"x",
+        b"abc",
+        b"abcd",
+        b"abcdabcdabcd",
+        TEXT,
+        RUNS,
+        os.urandom(4096),
+        bytes(70000),
+        rng.integers(0, 1000, 30000).astype("<u4").tobytes(),
+        b"ab" * 40000,  # overlap copies (offset < length)
+    ]
+
+
+@pytest.mark.parametrize("i", range(len(_cases())))
+def test_snappy_encode_roundtrip(i):
+    blob = _cases()[i]
+    assert snappy_decompress(snappy_compress(blob)) == blob
+
+
+@pytest.mark.parametrize("i", range(len(_cases())))
+def test_lz4_encode_roundtrip(i):
+    blob = _cases()[i]
+    assert lz4_block_decompress(lz4_block_compress(blob)) == blob
+
+
+@pytest.mark.parametrize("i", range(len(_cases())))
+def test_zstd_encode_roundtrip(i):
+    blob = _cases()[i]
+    assert zstd_decompress(zstd_compress(blob)) == blob
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=3000))
+def test_snappy_roundtrip_property(blob):
+    assert snappy_decompress(snappy_compress(blob)) == blob
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=3000))
+def test_lz4_roundtrip_property(blob):
+    assert lz4_block_decompress(lz4_block_compress(blob)) == blob
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=3000))
+def test_zstd_roundtrip_property(blob):
+    assert zstd_decompress(zstd_compress(blob)) == blob
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.binary(min_size=1, max_size=12),
+                          st.integers(1, 50)), max_size=40))
+def test_snappy_roundtrip_runny_property(parts):
+    blob = b"".join(p * k for p, k in parts)
+    assert snappy_decompress(snappy_compress(blob)) == blob
+    assert lz4_block_decompress(lz4_block_compress(blob)) == blob
+
+
+def test_real_compression_on_text():
+    """The honesty gate: these are real encoders, not tag-only escapes."""
+    s, l4 = snappy_compress(TEXT), lz4_block_compress(TEXT)
+    # 10x+ on repetitive text (zlib does better still — its 258-byte
+    # matches vs snappy's 64-byte op cap — but these are real ratios,
+    # not the old tag-only escape's 1.0)
+    assert len(s) < len(TEXT) * 0.1
+    assert len(l4) < len(TEXT) * 0.1
+    # and compressible source code, the less synthetic case
+    src = open(__file__, "rb").read()
+    assert len(snappy_compress(src)) < len(src) * 0.6
+    assert len(lz4_block_compress(src)) < len(src) * 0.6
+
+
+def test_zstd_rle_blocks_compress_runs():
+    blob = bytes(300000) + b"tail"
+    c = zstd_compress(blob)
+    assert len(c) < 100
+    assert zstd_decompress(c) == blob
+
+
+def test_lz4_end_of_block_rules():
+    """lz4_Block_format.md: last 5 bytes literal, last match starts >= 12
+    bytes before the end — verified structurally by re-parsing."""
+    blob = (b"abcdefgh" * 600) + b"abcdefgh"  # match-rich right up to the end
+    c = lz4_block_compress(blob)
+    assert lz4_block_decompress(c) == blob
+    # walk sequences, recording match extents
+    pos, out_len, n = 0, 0, len(c)
+    last_match_start = None
+    while pos < n:
+        token = c[pos]
+        pos += 1
+        ll = token >> 4
+        if ll == 15:
+            while True:
+                ll += c[pos]
+                pos += 1
+                if c[pos - 1] != 255:
+                    break
+        pos += ll
+        out_len += ll
+        if pos >= n:
+            break
+        pos += 2
+        ml = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                ml += c[pos]
+                pos += 1
+                if c[pos - 1] != 255:
+                    break
+        last_match_start = out_len
+        out_len += ml
+        assert out_len <= len(blob) - 5  # match ends before final 5 bytes
+    assert last_match_start is not None
+    assert last_match_start <= len(blob) - 13  # starts >= 12 bytes from end
+
+
+def test_snappy_ops_respect_format_caps():
+    """No copy op longer than 64 and no offset beyond 64 KiB (google/snappy
+    fragments input at 64 KiB, so conforming decoders may assume this)."""
+    blob = (TEXT * 40)[:300000]
+    c = snappy_compress(blob)
+    assert snappy_decompress(c) == blob
+    # skip preamble varint
+    pos = 0
+    while c[pos] & 0x80:
+        pos += 1
+    pos += 1
+    while pos < len(c):
+        tag = c[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:
+            l = tag >> 2
+            if l < 60:
+                length = l + 1
+            else:
+                nb = l - 59
+                length = int.from_bytes(c[pos : pos + nb], "little") + 1
+                pos += nb
+            pos += length
+        elif kind == 1:
+            assert ((tag >> 2) & 0x7) + 4 <= 11
+            pos += 1
+        elif kind == 2:
+            assert (tag >> 2) + 1 <= 64
+            assert int.from_bytes(c[pos : pos + 2], "little") <= 65535
+            pos += 2
+        else:
+            pytest.fail("4-byte-offset copy emitted despite 64 KiB cap")
+
+
+def test_block_framing_all_codecs_roundtrip():
+    blob = TEXT + os.urandom(1000) + bytes(5000)
+    for codec in ("zlib", "snappy", "lz4", "zstd"):
+        framed = block_compress(blob, codec)
+        assert block_decompress(framed, codec) == blob
+    # real shrink for the LZ codecs on compressible data
+    assert len(block_compress(TEXT, "snappy")) < len(TEXT) * 0.6
+    assert len(block_compress(TEXT, "lz4")) < len(TEXT) * 0.6
+
+
+def test_matcher_constraints():
+    pos, offs, lens = greedy_matches(TEXT, max_offset=100, max_match=16)
+    assert (offs <= 100).all() and (lens <= 16).all() and (lens >= 4).all()
+    assert (np.diff(pos) >= lens[:-1]).all()  # matches never overlap
+
+
+def test_native_registry_escape_hatch(monkeypatch):
+    """When a native library is importable, the registry prefers it. The
+    container has none, so inject a fake python-snappy and rebuild."""
+    import sys
+    import types
+
+    from orc_rs_spark.kernels import blockcomp
+
+    calls = {}
+    fake = types.ModuleType("snappy")
+    fake.compress = lambda b: calls.setdefault("c", True) and snappy_compress(b)
+    fake.decompress = lambda b: calls.setdefault("d", True) and snappy_decompress(b)
+    monkeypatch.setitem(sys.modules, "snappy", fake)
+    enc, dec, native = blockcomp._build_registry()
+    assert native.get("snappy") == "python-snappy"
+    blob = TEXT[:1000]
+    assert dec["snappy"](enc["snappy"](blob)) == blob
+    assert calls == {"c": True, "d": True}
+    # current process (no native libs at import) runs the from-spec path
+    assert "snappy" not in NATIVE_CODECS

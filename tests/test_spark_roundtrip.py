@@ -168,3 +168,39 @@ def test_compact_chunks(spark):
     assert n == 2000 and bad == 0
     small.unpersist()
     big.unpersist()
+
+
+def test_jvm_reads_lz_codecs(spark, tmp_path):
+    """ORC files our writer compresses with the from-spec snappy/lz4/zstd
+    encoders (kernels/lzblocks.py, kernels/zstd_enc.py) must decode in
+    Spark's native JVM ORC reader — third-party proof the encode bitstreams
+    conform, plus a real size win for the LZ codecs vs the old tag-only
+    escape (compressible sorted-key data)."""
+    import os
+
+    from orc_rs_spark.orcfile.reader import OrcFileReader
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    n = 20000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64) * 3),
+        "s": pa.array([f"prefix-shared-{i % 211:06d}" for i in range(n)]),
+        "toks": pa.array(
+            [np.arange(i % 37, dtype=np.int32).tolist() for i in range(n)],
+            pa.list_(pa.int32()),
+        ),
+    })
+    want_k = int(tbl.column("k").to_pandas().sum())
+    sizes = {}
+    for codec in ("none", "snappy", "lz4", "zstd"):
+        path = str(tmp_path / f"jvm_{codec}.orc")
+        write_orc(tbl, path, compression=codec)
+        sizes[codec] = os.path.getsize(path)
+        assert OrcFileReader(path).read_all().equals(tbl)
+        df = spark.read.orc(path)
+        assert df.count() == n
+        got = df.agg({"k": "sum"}).first()[0]
+        assert got == want_k, codec
+    # snappy/lz4 genuinely compress (strings/keys here are match-rich)
+    assert sizes["snappy"] < sizes["none"] * 0.9
+    assert sizes["lz4"] < sizes["none"] * 0.9
