@@ -48,7 +48,11 @@ def _as_unsigned(v: np.ndarray, signed: bool) -> np.ndarray:
 
 
 def _from_unsigned(u: np.ndarray, signed: bool) -> np.ndarray:
-    return zigzag_decode(u) if signed else u.astype(np.int64)
+    if signed:
+        return zigzag_decode(u)
+    # uint64 -> int64 wrap: a view is the same bits for free; astype only
+    # when the input is some other dtype
+    return u.view(np.int64) if u.dtype == np.uint64 else u.astype(np.int64)
 
 
 def _encode_base(base: int) -> tuple[bytes, int]:

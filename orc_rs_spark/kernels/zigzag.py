@@ -17,8 +17,12 @@ def zigzag_encode(values: np.ndarray) -> np.ndarray:
 
 
 def zigzag_decode(values: np.ndarray) -> np.ndarray:
-    """Zigzagged uint64 array -> signed int64 array: (v >> 1) ^ -(v & 1)."""
+    """Zigzagged uint64 array -> signed int64 array: (v >> 1) ^ -(v & 1).
+
+    All reinterpretations are views (free): (v >> 1) has a zero top bit so
+    its int64 view is the same value, (v & 1) views to 0/1 whose negation
+    is the all-ones/all-zeros XOR mask, and int64 XOR is bitwise-identical
+    to uint64 XOR. Three full-array astype copies used to live here and
+    were the single hottest spot in wire decode (q7)."""
     v = np.asarray(values, dtype=np.uint64)
-    return ((v >> np.uint64(1)) ^ (-(v & np.uint64(1)).astype(np.int64)).astype(np.uint64)).astype(
-        np.int64
-    )
+    return (v >> np.uint64(1)).view(np.int64) ^ -((v & np.uint64(1)).view(np.int64))

@@ -333,16 +333,27 @@ class OrcRsWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         import glob as _glob
 
-        if self.overwrite:
-            keep = {m.tmp for m in messages if m and m.tmp}
-            for f in _glob.glob(os.path.join(self.opts.path, "*.orc")):
-                os.remove(f)
-            for f in _glob.glob(os.path.join(self.opts.path, "*.tmp")):
-                if f not in keep:
-                    os.remove(f)
+        # rename-first overwrite: the new files carry a fresh job token so
+        # their names cannot collide with pre-existing parts — publishing
+        # them BEFORE deleting the old generation means a driver crash
+        # mid-commit leaves old+new visible (re-runnable), never a window
+        # with the old data gone and the new not yet visible
+        finals = set()
         for m in messages:
             if m and m.tmp:
                 os.replace(m.tmp, m.final)
+                finals.add(m.final)
+        if self.overwrite:
+            for f in _glob.glob(os.path.join(self.opts.path, "*.orc")):
+                if f not in finals:
+                    os.remove(f)
+            # sweep only THIS job's straggler temps (speculative attempts);
+            # a concurrent job's in-flight temps carry a different token
+            # and are left alone
+            for f in _glob.glob(
+                os.path.join(self.opts.path, f"part-{self.job_token}-*.tmp")
+            ):
+                os.remove(f)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -355,15 +366,27 @@ class OrcRsStreamWriter(DataSourceStreamArrowWriter):
     .format("orc_rs")``. Exactly-once by construction — tasks write
     attempt-unique temp files, and the driver's per-micro-batch
     ``commit(messages, batchId)`` renames them to batch-id-keyed names
-    (``part-{time}-b{batch:08d}-{pid:05d}.orc``; the time prefix is
-    chosen once per batch and reused on replay) and then sweeps any OTHER file
-    of the same batch id (a replayed batch that re-partitioned
-    differently must replace the whole batch, not just the partitions
-    it happens to share), so a restart between sink commit and
-    checkpoint write republishes the batch instead of duplicating rows."""
+    (``part-{time}-q{query}b{batch:08d}-{pid:05d}.orc``; the time prefix
+    is chosen once per batch and reused on replay) and then sweeps any
+    OTHER file of the same (query, batch id) — a replayed batch that
+    re-partitioned differently must replace the whole batch, not just
+    the partitions it happens to share — so a restart between sink
+    commit and checkpoint write republishes the batch instead of
+    duplicating rows.
+
+    The query token is derived from ``checkpointLocation`` (stable
+    across restarts of the SAME query — replay cleanup still finds the
+    pre-restart attempt's files — and distinct between queries, since
+    Spark requires one checkpoint dir per query), so two streaming
+    queries writing the same directory can never adopt each other's
+    batch ids and delete each other's files as stale replays."""
 
     def __init__(self, options, schema):
+        import hashlib
+
         self.opts = _WriteOptions(options)
+        ckpt = options.get("checkpointLocation", "")
+        self.query_token = hashlib.sha256(ckpt.encode()).hexdigest()[:8]
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> OrcWriteMessage:
         pid, attempt = _task_ids()
@@ -384,7 +407,7 @@ class OrcRsStreamWriter(DataSourceStreamArrowWriter):
         # and from batch append jobs (also time_ns-prefixed) sort
         # consistently by commit time, and a tailing stream's name
         # watermark never skips either kind
-        tag = f"b{batchId:08d}"
+        tag = f"q{self.query_token}b{batchId:08d}"
         stale = _glob.glob(os.path.join(self.opts.path, f"part-*-{tag}-*.orc"))
         prefix = (os.path.basename(stale[0]).split("-")[1] if stale
                   else f"{time.time_ns():016x}")
@@ -425,9 +448,19 @@ class OrcRsStreamReader(DataSourceStreamReader):
     grow with the table and be checkpointed every batch. Files that
     sort below the watermark are assumed immutable-and-processed (the
     rename-on-commit sinks guarantee a file is complete the moment it
-    is visible). Remaining caveat: two CONCURRENT batch append jobs can
-    commit out of token order; don't tail a directory with overlapping
-    batch writers (the streaming sink serializes its own commits)."""
+    is visible). Caveat: two CONCURRENT batch append jobs can commit
+    out of token order; don't tail a directory with overlapping batch
+    writers (the streaming sink serializes its own commits). That
+    misuse is DETECTED, not silent: each offset pass compares files
+    sorting below the previous watermark against the wall-clock moment
+    that watermark was established — a file whose inode change time
+    (ctime advances on the commit rename) is newer arrived out of name
+    order, would never be batched, and fails the stream loudly. The
+    check is in-memory (a restart re-arms it), costs one stat per
+    below-watermark file per pass — same order as the glob the offset
+    already does — and has no false positives from racing commits,
+    because files landing between the previous and current watermark
+    are still picked up by partitions()."""
 
     def __init__(self, options, schema):
         import glob as _glob
@@ -445,6 +478,10 @@ class OrcRsStreamReader(DataSourceStreamReader):
         # AFTER the stream starts appear on restart, like Spark's own
         # file sources
         self.evolve = _evolve_on(options)
+        # late-arrival detector state: (watermark, wall time established),
+        # current and one pass back (see _check_late_arrivals)
+        self._cur_wm: tuple[str, float] = ("", 0.0)
+        self._prev_wm: tuple[str, float] = ("", 0.0)
         self._target = None
         if self.evolve:
             full = _evolve_full(options)
@@ -466,8 +503,50 @@ class OrcRsStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"last": ""}
 
+    def _check_late_arrivals(self, names: list[str]) -> None:
+        """Fail loudly if a file materialized BELOW an already-consumed
+        watermark (out-of-name-order producer) instead of silently never
+        batching it. ``_prev_wm`` is the watermark one offset pass back —
+        everything at or below it has been handed to partitions() — and
+        ``_prev_wm_time`` is when it was established; a below-watermark
+        file with a newer ctime committed after that moment."""
+        import time as _time
+
+        prev_name, prev_time = self._prev_wm
+        if prev_name:
+            for n in names:
+                if n > prev_name:
+                    break
+                try:
+                    ctime = os.stat(os.path.join(self.path, n)).st_ctime
+                except OSError:
+                    continue
+                if ctime > prev_time:
+                    raise RuntimeError(
+                        f"orc_rs stream source: file {n!r} appeared below the "
+                        f"consumed watermark {prev_name!r} (committed "
+                        f"{ctime - prev_time:.1f}s after that watermark's "
+                        "batch was planned) — an out-of-name-order producer "
+                        "wrote this directory; its rows would be silently "
+                        "lost. Use this package's time-ordered writers and do "
+                        "not run concurrent batch append jobs against a "
+                        "tailed directory."
+                    )
+        # promote: by the time latestOffset runs again, the batch ending
+        # at the previous watermark has been planned (Spark calls
+        # latestOffset once per trigger, after the prior batch's
+        # partitions), so files at/below it are final. The promotion
+        # TIME is now — a file that raced in between watermark
+        # establishment and batch planning was still picked up by
+        # partitions' fresh glob and must not be flagged.
+        cur = names[-1] if names else ""
+        self._prev_wm = (self._cur_wm[0], _time.time())
+        if cur != self._cur_wm[0]:
+            self._cur_wm = (cur, _time.time())
+
     def latestOffset(self) -> dict:
         names = self._names()
+        self._check_late_arrivals(names)
         return {"last": names[-1] if names else ""}
 
     def partitions(self, start: dict, end: dict):

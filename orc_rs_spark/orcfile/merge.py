@@ -255,6 +255,15 @@ def _merge_orc_files_to(paths: list[str], out_path: str) -> int:
             footer += _field_bytes(3, body)
         for t in tails[0].footer.types:
             footer += _field_bytes(4, _type_message(t))
+        # carry user metadata through the merge (ORC Java's
+        # OrcFile.mergeFiles preserves it): union of every input's KV
+        # pairs, first file wins on a conflicting key
+        merged_md: dict[str, bytes] = {}
+        for t in tails:
+            for k, v in (t.footer.metadata or {}).items():
+                merged_md.setdefault(k, v)
+        for k, v in merged_md.items():
+            footer += _field_bytes(5, _field_bytes(1, k.encode("utf-8")) + _field_bytes(2, bytes(v)))
         footer += _field_varint(6, num_rows)
         for body in _merge_file_stats(tails):
             footer += _field_bytes(7, body)

@@ -301,7 +301,20 @@ class Footer:
     number_of_rows: int
     statistics: list[ColumnStatistics]
     row_index_stride: int
+    # user metadata KV pairs (Footer field 5, UserMetadataItem) — the
+    # reference parses and exposes these via Reader::metadata
+    # (src/tail.rs:22,100-104; src/reader.rs:52,148)
+    metadata: dict[str, bytes] = None  # type: ignore[assignment]
     encrypted: bool = False
+
+    @staticmethod
+    def _parse_metadata(f: dict) -> dict[str, bytes]:
+        out: dict[str, bytes] = {}
+        for item in f.get(5, []):
+            g = decode_fields(item)
+            name = bytes(_one(g, 1, b"")).decode("utf-8")
+            out[name] = bytes(_one(g, 2, b""))
+        return out
 
     @classmethod
     def parse(cls, buf) -> "Footer":
@@ -314,6 +327,7 @@ class Footer:
             number_of_rows=_one(f, 6, 0),
             statistics=[ColumnStatistics.parse(x) for x in f.get(7, [])],
             row_index_stride=_one(f, 8, 0),
+            metadata=cls._parse_metadata(f),
             # Footer.encryption = 10 (column encryption); reject like the
             # reference (/root/reference/src/tail.rs:86-88) instead of
             # failing later with an opaque stream-parse error

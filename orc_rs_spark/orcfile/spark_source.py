@@ -687,7 +687,25 @@ def evolve_decode_stripe(r: OrcFileReader, i: int, target_schema: pa.Schema,
             elif batch.column(idx).type == field.type:
                 arrays.append(batch.column(idx))
             else:
-                arrays.append(pc.cast(batch.column(idx), field.type, safe=False))
+                # safe=True: evolution only ever WIDENS, so a lossy cast
+                # here means the file carries a column wider than the
+                # target union — possible in the STREAMING evolve mode,
+                # whose union is fixed at stream start while later files
+                # may widen further. Fail loudly instead of silently
+                # wrapping out-of-range values (timestamps were already
+                # normalized to microseconds upstream in _spark_friendly,
+                # so no deliberate truncation happens here).
+                try:
+                    arrays.append(pc.cast(batch.column(idx), field.type, safe=True))
+                except pa.ArrowInvalid as e:
+                    raise ValueError(
+                        f"ORC evolve: file {r.path!r} column {field.name!r} "
+                        f"({batch.column(idx).type}) does not fit the scan's "
+                        f"target type {field.type} — the file widened the "
+                        "column after the stream's schema union was fixed; "
+                        "restart the stream (the union refreshes from the "
+                        "checkpoint) to pick up the wider schema"
+                    ) from e
         return pa.RecordBatch.from_arrays(arrays, names=target_names)
 
     have = set(r.tail.footer.types[0].field_names)
@@ -770,3 +788,154 @@ def count_rows(path: str | list[str], spark: SparkSession | None = None) -> int:
 
     with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
         return sum(ex.map(lambda f: read_tail(f).footer.number_of_rows, files))
+
+
+_STATS_AGG_OPS = ("count_star", "count", "min", "max", "sum")
+
+
+def _file_stat_partial(path: str, aggs: list[tuple[str, str | None]]) -> dict:
+    """One file's contribution to each aggregate, from the FOOTER alone.
+
+    Raises OrcUnsupportedError when the footer cannot answer exactly:
+    missing min/max for a column that has values, SUM over a kind with no
+    sum statistic, or timestamp bounds (stored millis-widened, so they
+    are a pruning superset, not the exact nanosecond extrema —
+    writer.py's minmax capture documents the widening)."""
+    from orc_rs_spark.orcfile.errors import OrcUnsupportedError
+
+    tail = read_tail(path)
+    root = tail.footer.types[0]
+    stats = tail.footer.statistics
+    out: dict = {}
+    for op, col in aggs:
+        key = f"{op}({col})" if col else "count(*)"
+        if op == "count_star":
+            out[key] = tail.footer.number_of_rows
+            continue
+        if col not in root.field_names:
+            raise OrcUnsupportedError(f"stats_aggregate: no top-level column {col!r}")
+        cid = root.subtypes[root.field_names.index(col)]
+        st = stats[cid] if cid < len(stats) else None
+        if st is None or st.number_of_values is None:
+            raise OrcUnsupportedError(f"stats_aggregate: footer lacks statistics for {col!r}")
+        if op == "count":
+            out[key] = st.number_of_values
+            continue
+        kind = tail.footer.types[cid].kind
+        if st.number_of_values == 0:
+            out[key] = None  # SQL: aggregate over no rows is NULL
+            continue
+        if op in ("min", "max"):
+            if kind in ("timestamp", "timestamp_instant"):
+                raise OrcUnsupportedError(
+                    "stats_aggregate: timestamp bounds are millis-widened "
+                    "(pruning supersets) — decode the column for exact MIN/MAX")
+            pairs = ((st.int_min, st.int_max), (st.double_min, st.double_max),
+                     (st.string_min, st.string_max), (st.date_min, st.date_max))
+            vals = next(((lo, hi) for lo, hi in pairs if lo is not None), None)
+            if vals is None:
+                raise OrcUnsupportedError(
+                    f"stats_aggregate: footer has no min/max for {col!r} "
+                    f"(kind {kind}; NaN-poisoned float bounds are omitted)")
+            v = vals[0] if op == "min" else vals[1]
+            if kind == "date":
+                import datetime
+
+                v = datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+            out[key] = v
+        else:  # sum
+            if kind == "boolean":
+                v = st.true_count
+            elif st.int_sum is not None:
+                v = st.int_sum
+            elif st.double_sum is not None:
+                v = st.double_sum
+            else:
+                v = None
+            if v is None:
+                raise OrcUnsupportedError(
+                    f"stats_aggregate: footer has no sum for {col!r} (kind "
+                    f"{kind}; int sums beyond sint64 are omitted as unknown)")
+            out[key] = v
+    return out
+
+
+def _combine_stat_partials(parts: list[dict], aggs: list[tuple[str, str | None]]) -> dict:
+    out: dict = {}
+    for op, col in aggs:
+        key = f"{op}({col})" if col else "count(*)"
+        vals = [p[key] for p in parts if p[key] is not None]
+        if op in ("count_star", "count"):
+            out[key] = sum(vals)
+        elif not vals:
+            out[key] = None
+        elif op == "min":
+            out[key] = min(vals)
+        elif op == "max":
+            out[key] = max(vals)
+        else:
+            out[key] = sum(vals)
+    return out
+
+
+def stats_aggregate(path: str | list[str], aggs: list[tuple[str, str | None]],
+                    spark: SparkSession | None = None) -> dict:
+    """Exact COUNT/MIN/MAX/SUM from ORC footers alone — zero stripe bytes.
+
+    ``aggs`` is a list of ``(op, column)`` with op in
+    {count_star, count, min, max, sum} (column None for count_star).
+    Returns ``{"op(col)": value}``. The reference exposes the parsed
+    statistics surface (src/reader.rs:152-159); this turns it into the
+    100 TB metadata-only aggregate: one ~16 KiB tail read per file —
+    below DISTRIBUTED_PLAN_THRESHOLD files through a driver thread pool,
+    above it (pass ``spark``) as a Spark job shipping one JSON partial
+    per task. Every answer is exact or the call raises
+    (OrcUnsupportedError) — never a silent approximation; sums come from
+    the writer's exact Python-int accumulation (writer.py _stats_body)."""
+    import glob as _glob
+    import json
+    import os
+
+    for op, col in aggs:
+        if op not in _STATS_AGG_OPS:
+            raise ValueError(f"stats_aggregate: unknown op {op!r}")
+        if (col is None) != (op == "count_star"):
+            raise ValueError(f"stats_aggregate: op {op!r} column mismatch")
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            files = sorted(_glob.glob(os.path.join(path, "*.orc")))
+        else:
+            files = [path]
+    else:
+        files = list(path)
+    if not files:
+        raise ValueError("stats_aggregate: no ORC files found")
+    if spark is not None and len(files) > DISTRIBUTED_PLAN_THRESHOLD:
+        n_tasks = scan_partitions(len(files), spark.sparkContext.defaultParallelism)
+        paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(n_tasks)
+
+        def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for b in batches:
+                fs = b.column("path").to_pylist()
+                if not fs:
+                    continue
+                merged = _combine_stat_partials(
+                    [_file_stat_partial(f, aggs) for f in fs], aggs)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([json.dumps(merged, default=str)])], names=["j"])
+
+        rows = paths_df.mapInArrow(partials, "j string").collect()
+        parts = [json.loads(r["j"]) for r in rows]
+        # JSON stringifies dates; re-parse them for date-typed aggregates
+        for p in parts:
+            for k, v in p.items():
+                if isinstance(v, str) and len(v) == 10 and v[4] == v[7] == "-":
+                    import datetime
+
+                    p[k] = datetime.date.fromisoformat(v)
+        return _combine_stat_partials(parts, aggs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+        parts = list(ex.map(lambda f: _file_stat_partial(f, aggs), files))
+    return _combine_stat_partials(parts, aggs)

@@ -76,18 +76,37 @@ _INT_STAT_KINDS = ("byte", "short", "int", "long")
 _STR_STAT_KINDS = ("string", "varchar", "char")
 
 
+_I64_MAX = (1 << 63) - 1
+
+
 def _stats_body(n_values: int, has_null: bool, kind: str | None = None,
-                mn=None, mx=None) -> bytes:
-    """ColumnStatistics protobuf body (counts + typed min/max when given).
-    Date bounds arrive as epoch days, timestamp bounds as UTC millis."""
+                mn=None, mx=None, sm=None) -> bytes:
+    """ColumnStatistics protobuf body (counts + typed min/max/sum when
+    given). Date bounds arrive as epoch days, timestamp bounds as UTC
+    millis; ``sm`` is the exact column sum (int kinds -> IntegerStatistics
+    sum, float/double -> DoubleStatistics sum, boolean -> BucketStatistics
+    true count) — omitted when it cannot be represented (beyond sint64),
+    matching ORC Java's treat-overflow-as-unknown."""
     body = _field_varint(1, int(n_values))
-    if mn is not None and mx is not None:
-        if kind in _INT_STAT_KINDS:
-            body += _field_bytes(2, _field_sint(1, int(mn)) + _field_sint(2, int(mx)))
-        elif kind in ("float", "double"):
-            if mn == mn and mx == mx:  # NaN min/max says nothing: omit
-                body += _field_bytes(3, _field_double(1, float(mn)) + _field_double(2, float(mx)))
-        elif kind in _STR_STAT_KINDS:
+    if kind in _INT_STAT_KINDS and (mn is not None or sm is not None):
+        sub = b""
+        if mn is not None and mx is not None:
+            sub += _field_sint(1, int(mn)) + _field_sint(2, int(mx))
+        if sm is not None and -_I64_MAX - 1 <= int(sm) <= _I64_MAX:
+            sub += _field_sint(3, int(sm))
+        if sub:
+            body += _field_bytes(2, sub)
+    elif kind in ("float", "double") and (mn is not None or sm is not None):
+        sub = b""
+        if mn is not None and mx is not None and mn == mn and mx == mx:
+            # NaN min/max says nothing: omit
+            sub += _field_double(1, float(mn)) + _field_double(2, float(mx))
+        if sm is not None and sm == sm:
+            sub += _field_double(3, float(sm))
+        if sub:
+            body += _field_bytes(3, sub)
+    elif mn is not None and mx is not None:
+        if kind in _STR_STAT_KINDS:
             body += _field_bytes(4, _field_bytes(1, str(mn).encode()) + _field_bytes(2, str(mx).encode()))
         elif kind == "date":
             body += _field_bytes(7, _field_sint(1, int(mn)) + _field_sint(2, int(mx)))
@@ -95,6 +114,8 @@ def _stats_body(n_values: int, has_null: bool, kind: str | None = None,
             pair = (_field_sint(1, int(mn)) + _field_sint(2, int(mx))
                     + _field_sint(3, int(mn)) + _field_sint(4, int(mx)))
             body += _field_bytes(9, pair)
+    if kind == "boolean" and sm is not None:
+        body += _field_bytes(5, _field_packed(1, [int(sm)]))
     body += _field_varint(10, 1 if has_null else 0)
     return body
 
@@ -314,6 +335,11 @@ class _StripeWriter:
         # ints, dates as epoch days, timestamps as UTC millis, strings as
         # str — EVERY level of nesting, so list children prune too
         self.minmax: dict[int, tuple] = {}
+        # col -> exact non-null sum (Python int for int kinds — never
+        # wraps; float for float/double; true count for boolean), feeding
+        # IntegerStatistics/DoubleStatistics sum and BucketStatistics —
+        # what metadata-only SUM/COUNT_IF pushdown reads back
+        self.sums: dict[int, int | float] = {}
 
     def _emit(self, col: int, kind_enum: int, raw: bytes):
         data = block_compress(raw, self.codec) if self.codec != "none" else raw
@@ -370,6 +396,8 @@ class _StripeWriter:
             return
         if kind == "boolean":
             v = dense.to_numpy(zero_copy_only=False).astype(bool)
+            if len(v):
+                self.sums[col] = int(v.sum())
             self._emit_bits(col, 1, v)
             return
         if kind == "byte":
@@ -383,13 +411,22 @@ class _StripeWriter:
             else:
                 v = dense.to_numpy(zero_copy_only=False).astype(np.int64)
             if len(v):
-                self.minmax[col] = (int(v.min()), int(v.max()))
+                mn, mx = int(v.min()), int(v.max())
+                self.minmax[col] = (mn, mx)
+                if kind != "date":  # ORC DateStatistics carries no sum
+                    # int64 accumulate is exact when n*|bound| cannot reach
+                    # 2^63; otherwise fall back to Python-int summation
+                    if max(abs(mn), abs(mx)) < (1 << 62) // max(len(v), 1):
+                        self.sums[col] = int(v.sum())
+                    else:
+                        self.sums[col] = int(sum(v.tolist()))
             self._emit(col, 1, rlev2_encode(v, signed=True, strict_orc=True))
             return
         if kind in ("float", "double"):
             v = dense.to_numpy(zero_copy_only=False)
             if len(v):
                 self.minmax[col] = (float(v.min()), float(v.max()))
+                self.sums[col] = float(v.astype(np.float64).sum())
             self._emit(col, 1, v.astype("<f4" if kind == "float" else "<f8").tobytes())
             return
         if kind in ("string", "varchar", "char", "binary"):
@@ -480,7 +517,8 @@ class OrcWriter:
 
     def __init__(self, path: str, schema: pa.Schema, compression: str = "zlib",
                  stripe_rows: int = 65536, row_index_stride: int = 10000,
-                 bloom_columns: list[str] | None = None):
+                 bloom_columns: list[str] | None = None,
+                 user_metadata: dict[str, bytes] | None = None):
         self.schema = schema
         self.compression = compression
         self.stripe_rows = stripe_rows
@@ -505,6 +543,15 @@ class OrcWriter:
                     raise ValueError(f"bloom filters unsupported for {kind} column {name!r}")
                 self.bloom_cols[sub] = pos
         self.row_index_stride = row_index_stride
+        # footer user-metadata KV pairs (UserMetadataItem, Footer field 5
+        # — the surface the reference exposes via Reader::metadata,
+        # src/tail.rs:100-104): caller pairs plus a writer-lineage stamp,
+        # so every file records which engine produced it
+        self.user_metadata: dict[str, bytes] = dict(user_metadata or {})
+        if "orc_rs_spark.writer" not in self.user_metadata:
+            from orc_rs_spark import __version__ as _v
+
+            self.user_metadata["orc_rs_spark.writer"] = f"orc_rs_spark/{_v}".encode()
         # all four codec tags have REAL encoders: zlib (stdlib raw
         # deflate), snappy + lz4 (from-spec NumPy, kernels/lzblocks.py),
         # zstd (from-spec frames, kernels/zstd_enc.py) — native codec
@@ -523,6 +570,7 @@ class OrcWriter:
         self._stripe_stats: list[list[bytes]] = []
         self._col_min: list = [None] * len(self.types)
         self._col_max: list = [None] * len(self.types)
+        self._col_sum: list = [None] * len(self.types)
         self.num_rows = 0
         self._buf: list[pa.RecordBatch] = []
         self._buf_rows = 0
@@ -615,12 +663,23 @@ class OrcWriter:
             sfooter += _field_bytes(
                 1, _field_varint(1, kind_enum) + _field_varint(2, col) + _field_varint(3, len(data))
             )
-        stripe_stats = [
-            _stats_body(*sw.stats.get(col, (tbl.num_rows, False)))
-            for col in range(len(self.types))
-        ]
+        stripe_stats = []
+        for col in range(len(self.types)):
+            nv, hn = sw.stats.get(col, (tbl.num_rows, False))
+            mn, mx = sw.minmax.get(col, (None, None))
+            sm = sw.sums.get(col)
+            self._accumulate_file_stats(col, mn, mx, sm)
+            stripe_stats.append(
+                _stats_body(nv, hn, self.types[col]["kind"], mn, mx, sm))
         self._write_stripe_tail(tbl, offset, 0, data_len, sfooter, sw.encodings,
                                 sw.stats, stripe_stats)
+
+    def _accumulate_file_stats(self, col: int, mn, mx, sm) -> None:
+        if mn is not None:
+            self._col_min[col] = mn if self._col_min[col] is None else min(self._col_min[col], mn)
+            self._col_max[col] = mx if self._col_max[col] is None else max(self._col_max[col], mx)
+        if sm is not None:
+            self._col_sum[col] = sm if self._col_sum[col] is None else self._col_sum[col] + sm
 
     def _flush_stripe_indexed(self, tbl: pa.Table) -> None:
         """Stripe with ROW_INDEX streams: every row group's streams start at
@@ -662,6 +721,7 @@ class OrcWriter:
         # every nesting level (int/date/ts/float/string leaves) — list
         # children get real pruning statistics, not counts-only entries
         group_mm: dict[int, list[tuple]] = {}
+        group_sums: dict[int, list] = {}
         encodings: dict[int, tuple[int, int]] = {}
         for g, (s, ln) in enumerate(groups):
             mw = _StripeWriter(types, "none", forced_strings=forced,
@@ -685,6 +745,8 @@ class OrcWriter:
                 group_counts.setdefault(c, []).append(mw.stats[c])
             for c, mm in mw.minmax.items():
                 group_mm.setdefault(c, [(None, None)] * len(groups))[g] = mm
+            for c, gs in mw.sums.items():
+                group_sums.setdefault(c, [None] * len(groups))[g] = gs
 
         # ---- assemble data streams + positions
         stream_bytes: dict[tuple[int, int], bytes] = {}
@@ -757,7 +819,8 @@ class OrcWriter:
                     slots += p
                 nv, hn = group_counts[col][g]
                 mn, mx = group_mm.get(col, [(None, None)] * len(groups))[g]
-                stats = _stats_body(nv, hn, types[col]["kind"], mn, mx)
+                gsm = group_sums.get(col, [None] * len(groups))[g]
+                stats = _stats_body(nv, hn, types[col]["kind"], mn, mx, gsm)
                 entry = (_field_packed(1, slots) if slots else b"") + _field_bytes(2, stats)
                 entries += _field_bytes(1, entry)
             index_streams.append(
@@ -852,12 +915,12 @@ class OrcWriter:
             stats_map[col] = (nv, hn)
             mns = [m for m, _ in group_mm.get(col, []) if m is not None]
             mxs = [m for _, m in group_mm.get(col, []) if m is not None]
+            sms = [x for x in group_sums.get(col, []) if x is not None]
+            sm = sum(sms) if sms else None
             mn = min(mns) if mns else None
             mx = max(mxs) if mxs else None
-            if mn is not None:
-                self._col_min[col] = mn if self._col_min[col] is None else min(self._col_min[col], mn)
-                self._col_max[col] = mx if self._col_max[col] is None else max(self._col_max[col], mx)
-            stripe_stats.append(_stats_body(nv, hn, types[col]["kind"], mn, mx))
+            self._accumulate_file_stats(col, mn, mx, sm)
+            stripe_stats.append(_stats_body(nv, hn, types[col]["kind"], mn, mx, sm))
         self._write_stripe_tail(tbl, offset, index_len, data_len, sfooter,
                                 encodings, stats_map, stripe_stats)
 
@@ -895,13 +958,16 @@ class OrcWriter:
             footer += _field_bytes(3, body)
         for node in self.types:
             footer += _field_bytes(4, _type_message(node))
+        for k, v in self.user_metadata.items():
+            item = _field_bytes(1, k.encode("utf-8")) + _field_bytes(2, bytes(v))
+            footer += _field_bytes(5, item)
         footer += _field_varint(6, self.num_rows)
         for col in range(len(self.types)):
             footer += _field_bytes(
                 7,
                 _stats_body(self._total_values[col], self._any_null[col],
                             self.types[col]["kind"], self._col_min[col],
-                            self._col_max[col]),
+                            self._col_max[col], self._col_sum[col]),
             )
         footer += _field_varint(8, self.row_index_stride)
         footer += _field_varint(9, 1)  # writer: ORC C++ code slot (non-Java)
@@ -927,11 +993,13 @@ class OrcWriter:
 
 def write_orc(table: pa.Table | pa.RecordBatch, path: str, compression: str = "zlib",
               stripe_rows: int = 65536, row_index_stride: int = 10000,
-              bloom_columns: list[str] | None = None) -> None:
+              bloom_columns: list[str] | None = None,
+              user_metadata: dict[str, bytes] | None = None) -> None:
     """Write an Arrow table as one ORC file (row-group indexed by default)."""
     if isinstance(table, pa.RecordBatch):
         table = pa.Table.from_batches([table])
     w = OrcWriter(path, table.schema, compression=compression, stripe_rows=stripe_rows,
-                  row_index_stride=row_index_stride, bloom_columns=bloom_columns)
+                  row_index_stride=row_index_stride, bloom_columns=bloom_columns,
+                  user_metadata=user_metadata)
     w.write_table(table)
     w.close()

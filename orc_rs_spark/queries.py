@@ -1243,6 +1243,74 @@ def q_orc_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orc_stats_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+           MIN(CAST(o_orderdate AS DATE)) AS min_date,
+           MAX(CAST(o_orderdate AS DATE)) AS max_date,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+)
+def q_orc_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate pushdown: COUNT/MIN/MAX/SUM answered from
+    ORC file FOOTERS alone (stats_aggregate) — one ~16 KiB tail read per
+    file, zero stripe bytes (tests/test_stats_agg.py proves it on files
+    whose entire data regions are overwritten with garbage). The writer
+    persists exact int sums / double sums / string+date bounds
+    (writer.py _stats_body, extending the statistics surface the
+    reference parses at src/reader.rs:152-159); the oracle recomputes the
+    same aggregates row-wise in SQL, so a hash match certifies the
+    metadata path end-to-end."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from orc_rs_spark.orcfile.spark_source import stats_aggregate, write_orc_dir
+
+    df = _pq(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    out_dir = _scratch_dir("orc_stats_agg")
+    write_orc_dir(df.repartition(4), out_dir, compression="zlib", stripe_rows=8192)
+    res = stats_aggregate(out_dir, [
+        ("count_star", None), ("count", "o_orderstatus"),
+        ("min", "o_orderkey"), ("max", "o_orderkey"), ("sum", "o_orderkey"),
+        ("min", "o_orderstatus"), ("max", "o_orderstatus"),
+        ("min", "o_orderdate"), ("max", "o_orderdate"),
+        ("min", "o_totalprice"), ("max", "o_totalprice"),
+    ])
+    schema = T.StructType([
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_status", T.LongType()),
+        T.StructField("min_key", T.LongType()),
+        T.StructField("max_key", T.LongType()),
+        T.StructField("sum_key", T.LongType()),
+        T.StructField("min_status", T.StringType()),
+        T.StructField("max_status", T.StringType()),
+        T.StructField("min_date", T.DateType()),
+        T.StructField("max_date", T.DateType()),
+        T.StructField("min_price", T.DoubleType()),
+        T.StructField("max_price", T.DoubleType()),
+    ])
+    row = (
+        res["count(*)"], res["count(o_orderstatus)"],
+        res["min(o_orderkey)"], res["max(o_orderkey)"], res["sum(o_orderkey)"],
+        res["min(o_orderstatus)"], res["max(o_orderstatus)"],
+        res["min(o_orderdate)"], res["max(o_orderdate)"],
+        res["min(o_totalprice)"], res["max(o_totalprice)"],
+    )
+    assert isinstance(res["min(o_orderdate)"], datetime.date)
+    return spark.createDataFrame([row], schema)
+
+
 # ---------------------------------------------------------- gate ordering
 # The driver's correctness gate runs the FIRST 50 registered queries; any
 # beyond that silently fall out in file order (round 3 lost the whole
@@ -1261,6 +1329,9 @@ def q_orc_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All 56 still run in pytest (tests/test_driver_contract.py parametrizes
 # over every entry), so nothing loses CI evidence — only gate slots.
 _GATE_TAIL = [
+    "rt_float_raw",  # raw-LE float decode also rides in the gated
+    # rt_generic_embeddings (float32 lists) + rt_generic_lineitem
+    # (doubles); rt_float_bss keeps the float wire surface gated
     "rt_str_dict_fsst",  # dict∘fsst composition; both factors gated alone
     "rt_rlev2_runs",  # short-repeat: spec-vector pytests + inside every
     # auto-selected engine query; delta/direct stay gated

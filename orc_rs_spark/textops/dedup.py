@@ -84,12 +84,19 @@ def minhash_lsh_pairs(
     bands: int = 32,
     text_col: str = "text",
     key_col: str = "doc_id",
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """MinHash-LSH candidates (band buckets) + exact Jaccard verification.
 
     With k=64, bands=32 (rows=2), P(miss | J=0.9) = (1-0.81)^32 ~ 1e-23, so
     the verified output equals the exact jaccard_pairs result while shuffles
     stay linear in corpus size.
+
+    Degenerate buckets (identical/boilerplate content — run ``exact_dedup``
+    first as the documented contract) are capped at ``bucket_cap`` members:
+    above it the all-pairs join degrades to a verified anchor star
+    (see _capped_band_pairs), keeping candidates O(C * bands) per cluster
+    instead of C^2/2.
     """
     rows = k // bands
     sig = minhash_signatures(docs, k, text_col, key_col)
@@ -104,7 +111,8 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("val")) for b in range(bands)])
         ).alias("bv"),
     ).select(key_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    x, y = stacked.alias("x"), stacked.alias("y")
+    small, star = _capped_band_pairs(stacked, key_col, bucket_cap)
+    x, y = small.alias("x"), small.alias("y")
     cand = (
         x.join(
             y,
@@ -113,6 +121,7 @@ def minhash_lsh_pairs(
             & (F.col(f"x.{key_col}") < F.col(f"y.{key_col}")),
         )
         .select(F.col(f"x.{key_col}").alias("d1"), F.col(f"y.{key_col}").alias("d2"))
+        .unionByName(star.select("d1", "d2"))
         .distinct()
     )
     # exact verification on candidates only
@@ -133,6 +142,53 @@ def minhash_lsh_pairs(
         .where(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")) >= threshold)
         .select("d1", "d2")
     )
+
+
+def _capped_band_pairs(stacked: DataFrame, key_col: str, bucket_cap: int,
+                       carry: list[str] | None = None):
+    """Degenerate-bucket guard for banded LSH self-joins.
+
+    A bucket of C identical-or-boilerplate documents yields C^2/2
+    candidates from an uncapped (band, val) self-join — the one real
+    scale-killer in the dedup tier at web-corpus skew. Contract: run
+    ``exact_dedup`` first so byte-identical copies never reach LSH; this
+    guard then bounds whatever residual mega-buckets remain:
+
+    - bucket sizes come from one map-combinable groupBy; buckets above
+      ``bucket_cap`` are few by construction (at most rows/cap), so the
+      oversized-bucket list is broadcast, never shuffled;
+    - rows in small buckets take the normal all-pairs equi-join;
+    - rows in oversized buckets fall back to a STAR: every member is
+      paired with the bucket's minimum-key member (the anchor) — C-1
+      candidates instead of C^2/2, and the induced graph has diameter 2,
+      so dup_clusters converges immediately. Star candidates flow through
+      the same exact verification as join candidates, so cluster-level
+      recall survives (a verified star keeps a genuine near-dup cluster
+      connected) while candidate count drops to O(C * bands).
+
+    Returns ``(small_rows, star_pairs)``: ``small_rows`` has stacked's
+    schema; ``star_pairs`` has (d1, d2) plus ``<c>_1``/``<c>_2`` for
+    every carried column, with d1 = anchor < d2.
+    """
+    from pyspark.sql import Window
+
+    carry = carry or []
+    sizes = stacked.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_bn"))
+    big = sizes.where(F.col("_bn") > bucket_cap).select("band", "val")
+    small = stacked.join(F.broadcast(big), ["band", "val"], "left_anti")
+    big_rows = stacked.join(F.broadcast(big), ["band", "val"], "left_semi")
+    # default frame (unboundedPreceding..currentRow): first() == bucket min
+    w = Window.partitionBy("band", "val").orderBy(key_col)
+    anchored = big_rows.withColumn("_anchor", F.first(key_col).over(w))
+    for c in carry:
+        anchored = anchored.withColumn(f"_anchor_{c}", F.first(c).over(w))
+    star = anchored.where(F.col(key_col) != F.col("_anchor")).select(
+        F.col("_anchor").alias("d1"),
+        F.col(key_col).alias("d2"),
+        *[F.col(f"_anchor_{c}").alias(f"{c}_1") for c in carry],
+        *[F.col(c).alias(f"{c}_2") for c in carry],
+    )
+    return small, star
 
 
 def _word_hash64(col, hash_fn: str):
@@ -180,6 +236,7 @@ def simhash_pairs(
     text_col: str = "text",
     key_col: str = "doc_id",
     hash_fn: str = "md5_60",
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
@@ -189,7 +246,10 @@ def simhash_pairs(
     pair — recall is exactly 1, not probabilistic. Candidates are then
     verified JVM-side with bit_count(xor) <= k. Shuffle volume is
     (k+1) rows per document (linear); bucket sizes stay tiny because a
-    15-bit band collides only for genuinely similar text.
+    15-bit band collides only for genuinely similar text — except for
+    identical/boilerplate clusters, which the ``bucket_cap`` guard
+    degrades to a verified anchor star (run ``exact_dedup`` first;
+    see _capped_band_pairs).
     """
     nb = max_hamming + 1
     width = bits // nb
@@ -211,8 +271,9 @@ def simhash_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("val")) for b in range(nb)])
         ).alias("bv"),
     ).select(key_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    x, y = stacked.alias("x"), stacked.alias("y")
-    return (
+    small, star = _capped_band_pairs(stacked, key_col, bucket_cap, carry=["simhash"])
+    x, y = small.alias("x"), small.alias("y")
+    joined = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -223,8 +284,11 @@ def simhash_pairs(
             F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))) <= F.lit(max_hamming)
         )
         .select(F.col(f"x.{key_col}").alias("d1"), F.col(f"y.{key_col}").alias("d2"))
-        .distinct()
     )
+    chained = star.where(
+        F.bit_count(F.col("simhash_1").bitwiseXOR(F.col("simhash_2"))) <= F.lit(max_hamming)
+    ).select("d1", "d2")
+    return joined.unionByName(chained).distinct()
 
 
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
@@ -258,13 +322,15 @@ def dup_clusters(pairs: DataFrame, a: str = "d1", b: str = "d2", max_iter: int =
     to its component's minimum id (`cluster_id`) — the canonical "keep one
     per duplicate cluster" step after pair mining.
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels (one shuffle join per round);
-    converges in O(graph diameter) rounds — near-dup clusters are dense and
-    shallow, so this is a handful of rounds in practice, with a convergence
-    check (one count per round) and lineage truncation via localCheckpoint
-    so plans don't grow with iterations. Driver-side loop is over ROUNDS,
-    never over rows.
+    Iterative min-label propagation with POINTER DOUBLING: each round every
+    node takes the min of its own label and its neighbors' labels (one
+    shuffle join per round), then shortcuts label -> label(label) — the
+    path-halving step of parallel union-find — so convergence is
+    O(log diameter) rounds, not O(diameter). A 10^4-node chain graph (the
+    pathological case for plain propagation) converges in ~15 rounds.
+    Convergence check is one count per round; lineage is truncated via
+    localCheckpoint so plans don't grow with iterations. Driver-side loop
+    is over ROUNDS, never over rows.
     """
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = edges.union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -278,12 +344,16 @@ def dup_clusters(pairs: DataFrame, a: str = "d1", b: str = "d2", max_iter: int =
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        hooked = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        # pointer doubling: label <- label(label). Labels are node ids and
+        # only ever decrease, so the shortcut halves label-chain depth.
+        lut = hooked.select(F.col("node").alias("lnode"), F.col("label").alias("llabel"))
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-            )
+            hooked.join(lut, hooked["label"] == lut["lnode"], "left")
+            .select("node", F.least("label", F.coalesce("llabel", "label")).alias("label"))
             .localCheckpoint()
         )
         changed = (
@@ -361,6 +431,7 @@ def embedding_lsh_pairs(
     rows_per_band: int = 2,
     dim: int = 64,
     seed: int = 42,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Bucketed embedding near-dup pairs: banded random-hyperplane LSH
     candidates + exact cosine verification (the minhash_lsh_pairs pattern
@@ -386,7 +457,8 @@ def embedding_lsh_pairs(
     stacked = sigs.select(
         "vec_id", F.posexplode("band_vals").alias("band", "val")
     )
-    x, y = stacked.alias("x"), stacked.alias("y")
+    small, star = _capped_band_pairs(stacked, "vec_id", bucket_cap)
+    x, y = small.alias("x"), small.alias("y")
     cand = (
         x.join(
             y,
@@ -395,6 +467,7 @@ def embedding_lsh_pairs(
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(F.col("x.vec_id").alias("v1"), F.col("y.vec_id").alias("v2"))
+        .unionByName(star.select(F.col("d1").alias("v1"), F.col("d2").alias("v2")))
         .distinct()
     )
     return _verify_cos_pairs(embeddings, cand, threshold)

@@ -3,6 +3,7 @@ spark.read/write pipelines over the wire ORC machinery, with Catalyst
 filter pushdown into stripe/row-group pruning."""
 
 import glob
+import os
 
 import pytest
 
@@ -144,7 +145,7 @@ def test_stream_writer_exactly_once(registered, tmp_path):
     assert not glob.glob(f"{out}/*.tmp") and not glob.glob(f"{out}/.stream-*")
     # files are batch-id keyed under a time-ordered prefix
     names = sorted(glob.glob(f"{out}/part-*.orc"))
-    assert names and all("-b0000" in n for n in names)
+    assert names and all("b0000" in os.path.basename(n).split("-")[2] for n in names)
 
 
 def test_append_mode_never_clobbers(registered, tmp_path):
@@ -210,12 +211,12 @@ def test_stream_replay_with_fewer_partitions(registered, tmp_path):
     # first attempt of batch 3: 4 partitions
     msgs = [fake_task(pid, 10) for pid in range(4)]
     w.commit(msgs, batchId=3)
-    first = sorted(glob.glob(f"{out}/part-*-b00000003-*.orc"))
+    first = sorted(glob.glob(f"{out}/part-*-q*b00000003-*.orc"))
     assert len(first) == 4
     # replay of batch 3 with only 2 partitions
     msgs = [fake_task(pid, 25) for pid in range(2)]
     w.commit(msgs, batchId=3)
-    files = sorted(glob.glob(f"{out}/part-*-b00000003-*.orc"))
+    files = sorted(glob.glob(f"{out}/part-*-q*b00000003-*.orc"))
     assert len(files) == 2  # stale 00002/00003 swept
     # replay REUSED the original time prefix: identical names, no
     # watermark-visible churn for a downstream tailing stream
@@ -339,3 +340,31 @@ def test_empty_dir_schema_hint(registered, tmp_path):
     os.makedirs(empty)
     with pytest.raises(Exception, match="schema"):
         spark.read.format("orc_rs").load(empty).count()
+
+
+def test_stream_source_detects_out_of_order_producer(tmp_path):
+    """A file materializing BELOW an already-planned watermark (an
+    out-of-name-order producer) fails the stream loudly instead of being
+    silently skipped (the O(1) name-watermark offset cannot batch it)."""
+    import time
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from orc_rs_spark.orcfile.datasource import OrcRsStreamReader
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    d = str(tmp_path / "tail_dir")
+    os.makedirs(d)
+    t = pa.table({"id": pa.array([1, 2], pa.int64())})
+    write_orc(t, os.path.join(d, "part-zzz.orc"))
+    reader = OrcRsStreamReader(
+        {"path": d}, StructType([StructField("id", LongType())]))
+    assert reader.latestOffset() == {"last": "part-zzz.orc"}  # establish
+    assert reader.latestOffset() == {"last": "part-zzz.orc"}  # promote
+    time.sleep(0.05)
+    # late arrival sorting below the planned watermark
+    write_orc(t, os.path.join(d, "part-aaa.orc"))
+    with _pytest.raises(RuntimeError, match="below the consumed watermark"):
+        reader.latestOffset()

@@ -366,3 +366,34 @@ def test_compact_group_by_schema(spark, tmp_path):
     assert [r["v"] for r in rows] == list(range(500))
     assert all(r["s"] is None for r in rows[:300])
     assert rows[300]["s"] == "x0"
+
+
+def test_merge_preserves_user_metadata(tmp_path):
+    """OrcFile.mergeFiles semantics: footer user-metadata KV pairs
+    survive the stripe-copy merge (union of inputs, first file wins on a
+    conflicting key), validated both by our reader and by the ORC C++
+    library (pyarrow.orc) as a third party."""
+    import pyarrow.orc as po
+
+    from orc_rs_spark.orcfile.merge import merge_orc_files
+    from orc_rs_spark.orcfile.reader import OrcFileReader, read_tail
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    t1 = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    t2 = pa.table({"x": pa.array([4, 5], pa.int64())})
+    p1, p2 = str(tmp_path / "a.orc"), str(tmp_path / "b.orc")
+    write_orc(t1, p1, user_metadata={"run": b"alpha", "who": b"job1"})
+    write_orc(t2, p2, user_metadata={"run": b"beta", "extra": b"\x00\x01"})
+    out = str(tmp_path / "m.orc")
+    merge_orc_files([p1, p2], out)
+    md = read_tail(out).footer.metadata
+    assert md["run"] == b"alpha"  # first file wins
+    assert md["who"] == b"job1" and md["extra"] == b"\x00\x01"
+    assert md["orc_rs_spark.writer"].startswith(b"orc_rs_spark/")
+    got = OrcFileReader(out).read_all()
+    assert got.column("x").to_pylist() == [1, 2, 3, 4, 5]
+    # ORC C++ sees the same pairs and rows
+    f = po.ORCFile(out)
+    assert f.nrows == 5
+    cpp_md = {k: v for k, v in f.metadata.items()}
+    assert cpp_md[b"run" if b"run" in cpp_md else "run"] in (b"alpha",)

@@ -1670,3 +1670,32 @@ def test_write_orc_dir_task_commit_protocol(spark, tmp_path):
     back = read_orc(spark, out)
     assert back.count() == 1000
     assert back.agg({"a": "sum"}).collect()[0][0] == 499500
+
+
+def test_user_metadata_roundtrip_and_lineage(tmp_path):
+    """Footer field 5 (UserMetadataItem) both directions: caller KV pairs
+    plus the automatic writer-lineage stamp round-trip through our own
+    tail parser AND the ORC C++ reader (pyarrow.orc); binary values are
+    byte-exact. Reference surface: src/tail.rs:100-104, Reader::metadata
+    (src/reader.rs:52,148)."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from orc_rs_spark.orcfile.reader import read_tail
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    blob = bytes(range(256))
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    p = str(tmp_path / "md.orc")
+    write_orc(t, p, user_metadata={"k.a": b"v1", "bin": blob})
+    md = read_tail(p).footer.metadata
+    assert md["k.a"] == b"v1" and md["bin"] == blob
+    assert md["orc_rs_spark.writer"].startswith(b"orc_rs_spark/")
+    cpp = dict(po.ORCFile(p).metadata.items())
+    key = "bin" if "bin" in cpp else b"bin"
+    assert bytes(cpp[key]) == blob
+    # default write carries only the lineage stamp
+    p2 = str(tmp_path / "plain.orc")
+    write_orc(t, p2)
+    md2 = read_tail(p2).footer.metadata
+    assert list(md2) == ["orc_rs_spark.writer"]

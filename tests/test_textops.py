@@ -477,3 +477,69 @@ def test_multimodal_empty_and_hostile_payloads():
     mm.extract_features(cap2)
     with _pytest.raises(ValueError, match="truncated WAV"):
         list(cap2.fn(iter([med2])))
+
+
+def test_lsh_degenerate_bucket_guard(spark):
+    """10^4 near-identical docs (the web-corpus boilerplate case) all land
+    in the same LSH band buckets; the uncapped self-join would mint
+    C^2/2 = 5x10^7 candidates. The bucket_cap guard degrades oversized
+    buckets to an anchor star: candidate volume stays O(C * bands) and
+    the cluster still comes out CONNECTED (what dup_clusters needs)."""
+    from pyspark.sql import functions as F
+
+    from orc_rs_spark.textops.dedup import (
+        _capped_band_pairs,
+        dup_clusters,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    n = 10_000
+    # structural check on the guard itself: one mega-bucket, capped
+    stacked = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("doc"), F.format_string("%05d", F.col("id"))).alias("doc_id"),
+            F.lit(0).alias("band"),
+            F.lit(12345).cast("long").alias("val"),
+        )
+    )
+    small, star = _capped_band_pairs(stacked, "doc_id", bucket_cap=1000)
+    assert small.count() == 0  # every row is in the oversized bucket
+    pairs = star.collect()
+    assert len(pairs) == n - 1  # anchor star, not C^2/2
+    assert {r.d1 for r in pairs} == {"doc00000"}  # all spokes share the min anchor
+    # star connects the whole bucket
+    clusters = dup_clusters(star.select("d1", "d2"))
+    assert clusters.select("cluster_id").distinct().count() == 1
+
+    # end-to-end: identical texts through the real operators finish with
+    # linear candidate volume and one connected cluster (uncapped this
+    # would be a 5x10^7-pair join)
+    docs = spark.range(2000).select(
+        F.format_string("d%05d", F.col("id")).alias("doc_id"),
+        F.lit("the same boilerplate page text repeated everywhere forever").alias("text"),
+    )
+    mh = minhash_lsh_pairs(docs, bucket_cap=200)
+    assert dup_clusters(mh).select("cluster_id").distinct().count() == 1
+    sh = simhash_pairs(docs, bucket_cap=200)
+    assert dup_clusters(sh).select("cluster_id").distinct().count() == 1
+
+
+def test_dup_clusters_chain_graph_converges(spark):
+    """Pointer doubling makes connected components O(log diameter): a
+    4000-node pure chain (the pathological case for plain min-label
+    propagation, which needs diameter rounds) converges within the
+    default max_iter and labels every node with the chain head."""
+    from pyspark.sql import functions as F
+
+    from orc_rs_spark.textops.dedup import dup_clusters
+
+    n = 4000
+    edges = spark.range(n - 1).select(
+        F.format_string("c%06d", F.col("id")).alias("d1"),
+        F.format_string("c%06d", F.col("id") + 1).alias("d2"),
+    )
+    out = dup_clusters(edges)
+    assert out.count() == n
+    assert out.select("cluster_id").distinct().collect()[0][0] == "c000000"
