@@ -129,6 +129,21 @@ def main() -> None:
     pruned_lookup_sec = time.time() - t0
     assert pruned_rows == 1, "pruned lookup lost the row"
 
+    # informational: the same wire write/read with the zstd codec (round-5
+    # registry: pyarrow's bundled libzstd encode, FCS-exact decode) — the
+    # compression knob a 100 TB deployment would actually turn; zlib stays
+    # the timed q6/q7 so walls remain cross-round comparable
+    zstd_dir = f"{work_dir}/orc_wire_zstd"
+    t0 = time.time()
+    write_orc_dir(df.repartition(int(cpus) if cpus.isdigit() else 32), zstd_dir,
+                  compression="zstd")
+    zstd_write_sec = time.time() - t0
+    t0 = time.time()
+    zstd_vals = int(read_orc(spark, zstd_dir).agg(F.sum("n_tok")).collect()[0][0])
+    zstd_read_sec = time.time() - t0
+    assert zstd_vals == n_values, "zstd wire round-trip lost values"
+    zstd_wire_bytes = dir_size(zstd_dir)
+
     total = sum(timings.values())
     result = {
         "metric": "bench_suite_wall",
@@ -151,6 +166,10 @@ def main() -> None:
         "orc_wire_write_tokens_per_sec": round(n_values / timings["q6_orc_wire_write"]),
         "orc_wire_read_tokens_per_sec": round(n_values / timings["q7_orc_wire_read"]),
         "orc_wire_bytes": orc_wire_bytes,
+        "orc_wire_zstd_write_sec": round(zstd_write_sec, 3),
+        "orc_wire_zstd_read_sec": round(zstd_read_sec, 3),
+        "orc_wire_zstd_bytes": zstd_wire_bytes,
+        "orc_wire_zstd_vs_zlib_bytes": round(zstd_wire_bytes / max(1, orc_wire_bytes), 4),
         "orc_pruned_lookup_sec": round(pruned_lookup_sec, 3),
         "orc_pruned_lookup_vs_full_read": round(
             pruned_lookup_sec / timings["q7_orc_wire_read"], 3

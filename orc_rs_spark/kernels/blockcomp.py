@@ -39,6 +39,23 @@ def _inflate(data: bytes) -> bytes:
     return zlib.decompress(data, wbits=-15)
 
 
+def _zstd_frame_content_size(data: bytes) -> int | None:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1), or
+    None when the writer omitted it (then only streaming decode knows)."""
+    if len(data) < 6 or int.from_bytes(data[:4], "little") != 0xFD2FB528:
+        return None
+    fhd = data[4]
+    fcs_flag = fhd >> 6
+    single = (fhd >> 5) & 1
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    pos = 5 + (0 if single else 1) + did_size
+    if fcs_flag == 0:
+        return data[pos] if single else None
+    n = (0, 2, 4, 8)[fcs_flag]
+    v = int.from_bytes(data[pos : pos + n], "little")
+    return v + 256 if fcs_flag == 1 else v
+
+
 def _build_registry():
     """(encoders, decoders, native_names) — native lib when importable,
     from-spec kernel otherwise. Import-gated exactly once."""
@@ -62,6 +79,57 @@ def _build_registry():
 
     dec["zstd"] = _zstd_dec_fallback
     enc["zstd"] = _zstd_enc_fallback
+
+    # pyarrow tier: Arrow bundles real C codecs (snappy, lz4_raw, zstd)
+    # and is already a hard dependency of this package, so this tier is
+    # effectively always on — ~100x the from-spec kernels' throughput.
+    # Arrow's decompress() needs the EXACT uncompressed size: snappy
+    # blocks self-describe it (varint preamble), zstd frames carry
+    # Frame_Content_Size when the writer set it (ours do; unknown-size
+    # streaming frames fall back to the from-spec decoder), LZ4 blocks
+    # carry nothing — lz4 decode stays from-spec.
+    try:
+        import pyarrow as _pa
+
+        if _pa.Codec.is_available("snappy"):
+            _snappy_c = _pa.Codec("snappy")
+
+            def _pa_snappy_dec(b: bytes) -> bytes:
+                ulen = 0
+                shift = 0
+                pos = 0
+                while True:
+                    if pos >= len(b):
+                        raise ValueError("snappy: truncated length preamble")
+                    byte = b[pos]
+                    pos += 1
+                    ulen |= (byte & 0x7F) << shift
+                    if not byte & 0x80:
+                        break
+                    shift += 7
+                return bytes(_snappy_c.decompress(b, decompressed_size=ulen))
+
+            enc["snappy"] = lambda b: bytes(_snappy_c.compress(b))
+            dec["snappy"] = _pa_snappy_dec
+            native["snappy"] = "pyarrow"
+        if _pa.Codec.is_available("lz4_raw"):
+            _lz4_c = _pa.Codec("lz4_raw")
+            enc["lz4"] = lambda b: bytes(_lz4_c.compress(b))
+            native["lz4"] = "pyarrow (encode; decode from-spec)"
+        if _pa.Codec.is_available("zstd"):
+            _zstd_c = _pa.Codec("zstd")
+
+            def _pa_zstd_dec(b: bytes) -> bytes:
+                size = _zstd_frame_content_size(b)
+                if size is None:  # unknown-size frame: from-spec decoder
+                    return _zstd_dec_fallback(b)
+                return bytes(_zstd_c.decompress(b, decompressed_size=size))
+
+            enc["zstd"] = lambda b: bytes(_zstd_c.compress(b))
+            dec["zstd"] = _pa_zstd_dec
+            native["zstd"] = "pyarrow"
+    except ImportError:
+        pass
 
     try:  # python-snappy (C bindings)
         import snappy as _snappy  # type: ignore

@@ -1244,6 +1244,30 @@ def q_orc_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_wire_snappy",
+    "SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey "
+    "FROM orders",
+)
+def q_orc_wire_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC wire round-trip under REAL snappy compression: the writer's
+    from-spec snappy encoder (kernels/lzblocks.py snappy_compress — the
+    reference decodes snappy but never encodes, src/compression.rs:157)
+    compresses every stream block, and the stripe-parallel reader
+    decodes it back; a hash match against the SQL oracle certifies the
+    whole compressed round trip. The size win itself is pinned in
+    tests/test_lz_encoders.py and test_jvm_reads_lz_codecs (which also
+    proves Spark's JVM reader decodes these files)."""
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = _pq(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"
+    )
+    out_dir = _scratch_dir("orc_wire_snappy")
+    write_orc_dir(df.repartition(8), out_dir, compression="snappy")
+    return read_orc(spark, out_dir)
+
+
+@register(
     "orc_stats_agg",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1329,6 +1353,9 @@ def q_orc_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All 56 still run in pytest (tests/test_driver_contract.py parametrizes
 # over every entry), so nothing loses CI evidence — only gate slots.
 _GATE_TAIL = [
+    "rt_generic_decimal",  # decimal(18,x) surface stays double-gated via
+    # rt_generic_decimal38 (the wider i128 path) + rt_orc_wire_decimal
+    # (the ORC wire path); three decimal gate slots were redundant
     "rt_float_raw",  # raw-LE float decode also rides in the gated
     # rt_generic_embeddings (float32 lists) + rt_generic_lineitem
     # (doubles); rt_float_bss keeps the float wire surface gated
