@@ -897,10 +897,27 @@ def stats_aggregate(path: str | list[str], aggs: list[tuple[str, str | None]],
     import os
 
     for op, col in aggs:
-        if op not in _STATS_AGG_OPS:
+        if op not in _STATS_AGG_OPS and op != "avg":
             raise ValueError(f"stats_aggregate: unknown op {op!r}")
         if (col is None) != (op == "count_star"):
             raise ValueError(f"stats_aggregate: op {op!r} column mismatch")
+    # AVG decomposes into footer-answerable SUM + COUNT; the division
+    # happens once over the combined partials (never per file — that
+    # would average averages)
+    avg_cols = [col for op, col in aggs if op == "avg"]
+    if avg_cols:
+        base = [(op, col) for op, col in aggs if op != "avg"]
+        for col in avg_cols:
+            for piece in (("sum", col), ("count", col)):
+                if piece not in base:
+                    base.append(piece)
+        res = stats_aggregate(path, base, spark)
+        for op, col in aggs:
+            if op == "avg":
+                cnt = res[f"count({col})"]
+                res[f"avg({col})"] = (res[f"sum({col})"] / cnt) if cnt else None
+        keep = {(f"{op}({col})" if col else "count(*)") for op, col in aggs}
+        return {k: v for k, v in res.items() if k in keep}
     if isinstance(path, str):
         if os.path.isdir(path):
             files = sorted(_glob.glob(os.path.join(path, "*.orc")))

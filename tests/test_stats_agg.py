@@ -116,7 +116,7 @@ def test_stats_aggregate_refuses_inexact(tmp_path):
     with pytest.raises(OrcUnsupportedError, match="no top-level column"):
         stats_aggregate(p, [("min", "zz")])
     with pytest.raises(ValueError, match="unknown op"):
-        stats_aggregate(p, [("avg", "k")])
+        stats_aggregate(p, [("median", "k")])
     # NaN-poisoned float bounds are omitted by the writer -> refuse
     tn = pa.table({"f": pa.array([1.0, float("nan"), 2.0])})
     pn = str(tmp_path / "nan.orc")
@@ -147,3 +147,24 @@ def test_stats_aggregate_date_roundtrip(tmp_path):
     got = stats_aggregate(p, [("min", "d"), ("max", "d")])
     assert got["min(d)"] == datetime.date(1969, 7, 20)
     assert got["max(d)"] == datetime.date(2031, 1, 2)
+
+
+def test_stats_aggregate_avg(tmp_path):
+    """AVG decomposes to footer SUM / COUNT over the COMBINED partials
+    (never an average of per-file averages — files have different row
+    counts)."""
+    t1 = pa.table({"k": pa.array([10, 20, None], pa.int64())})
+    t2 = pa.table({"k": pa.array([40], pa.int64())})
+    write_orc(t1, str(tmp_path / "a.orc"))
+    write_orc(t2, str(tmp_path / "b.orc"))
+    got = stats_aggregate(str(tmp_path), [("avg", "k"), ("min", "k")])
+    assert got["avg(k)"] == (10 + 20 + 40) / 3  # 23.33, not (15+40)/2
+    assert got["min(k)"] == 10
+    assert set(got) == {"avg(k)", "min(k)"}
+    # all-null -> SQL NULL
+    t3 = pa.table({"k": pa.array([None, None], pa.int64())})
+    p3 = str(tmp_path / "nulls" )
+    import os
+    os.makedirs(p3)
+    write_orc(t3, os.path.join(p3, "c.orc"))
+    assert stats_aggregate(p3, [("avg", "k")])["avg(k)"] is None
