@@ -168,3 +168,35 @@ def test_stats_aggregate_avg(tmp_path):
     os.makedirs(p3)
     write_orc(t3, os.path.join(p3, "c.orc"))
     assert stats_aggregate(p3, [("avg", "k")])["avg(k)"] is None
+
+
+def test_stats_aggregate_distributed_path(spark, tmp_path):
+    """Above DISTRIBUTED_PLAN_THRESHOLD files the aggregate runs as a
+    Spark job shipping one JSON partial per task — same answers as the
+    driver thread pool, nothing driver-side scales with the file count
+    but the path list."""
+    import orc_rs_spark.orcfile.spark_source as ss
+
+    tables = []
+    for i in range(8):
+        t = pa.table({
+            "k": pa.array([i * 10 + j for j in range(5)], pa.int64()),
+            "d": pa.array([datetime.date(2020, 1, 1 + i)] * 5),
+        })
+        tables.append(t)
+        write_orc(t, str(tmp_path / f"part-{i:03d}.orc"))
+    aggs = [("count_star", None), ("min", "k"), ("max", "k"), ("sum", "k"),
+            ("avg", "k"), ("min", "d"), ("max", "d")]
+    want = stats_aggregate(str(tmp_path), aggs)  # thread-pool reference
+    # force the distributed branch with a tiny threshold
+    orig = ss.DISTRIBUTED_PLAN_THRESHOLD
+    ss.DISTRIBUTED_PLAN_THRESHOLD = 4
+    try:
+        got = stats_aggregate(str(tmp_path), aggs, spark=spark)
+    finally:
+        ss.DISTRIBUTED_PLAN_THRESHOLD = orig
+    assert got == want
+    assert got["count(*)"] == 40 and got["sum(k)"] == sum(r for t in tables
+                                                         for r in t.column("k").to_pylist())
+    assert got["min(d)"] == datetime.date(2020, 1, 1)
+    assert got["max(d)"] == datetime.date(2020, 1, 8)
