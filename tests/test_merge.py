@@ -397,3 +397,27 @@ def test_merge_preserves_user_metadata(tmp_path):
     assert f.nrows == 5
     cpp_md = {k: v for k, v in f.metadata.items()}
     assert cpp_md[b"run" if b"run" in cpp_md else "run"] in (b"alpha",)
+
+
+def test_write_orc_dir_stamps_partition_lineage(spark, tmp_path):
+    """Each part file's footer user metadata carries the writing task's
+    partition id + attempt (plus caller KV) — per-partition lineage
+    readable from tails alone, surviving merge."""
+    from orc_rs_spark.orcfile.reader import read_tail
+    from orc_rs_spark.orcfile.spark_source import write_orc_dir
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    out = str(tmp_path / "lineage")
+    n = write_orc_dir(df.repartition(3), out, user_metadata={"run": b"r5"})
+    assert n == 1000
+    import glob
+
+    parts = sorted(glob.glob(f"{out}/*.orc"))
+    assert len(parts) == 3
+    seen_pids = set()
+    for p in parts:
+        md = read_tail(p).footer.metadata
+        assert md["run"] == b"r5"
+        seen_pids.add(int(md["orc_rs_spark.partition"]))
+        assert md["orc_rs_spark.writer"].startswith(b"orc_rs_spark/")
+    assert seen_pids == {0, 1, 2}
