@@ -2,7 +2,8 @@
 """Two-parallelism scaling evidence (north_rule: throughput scaling
 efficiency >= 0.8 from N to 4N executors; sandbox stand-in per driver
 instruction: the same job at two local parallelism levels on identical
-input). Writes BENCH/BASELINE.md and prints one JSON line.
+input). Writes BENCH/BASELINE_last_run.md (BENCH/BASELINE.md is the
+curated multi-run record — never auto-overwritten) and prints one JSON line.
 
 Measures BOTH N->4N pairs this box supports:
 - local[2] -> local[8]: both levels have DRAM-bandwidth headroom, like
@@ -123,7 +124,7 @@ def main() -> None:
         f"**{p['encode_efficiency']}** | {p['decode_speedup']}x | {p['decode_efficiency']} |"
         for p in pairs
     )
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/BASELINE_last_run.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
