@@ -368,3 +368,22 @@ def test_stream_source_detects_out_of_order_producer(tmp_path):
     write_orc(t, os.path.join(d, "part-aaa.orc"))
     with _pytest.raises(RuntimeError, match="below the consumed watermark"):
         reader.latestOffset()
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "lz4"])
+def test_datasource_compression_codecs(registered, tmp_path, codec):
+    """format("orc_rs") with each real encoder (round 5): write through
+    the data source, read back through BOTH the data source and Spark's
+    native JVM ORC reader with matching aggregates."""
+    spark = registered
+    out = str(tmp_path / f"ds_{codec}")
+    df = spark.range(5000).selectExpr(
+        "id", "concat('name-', id % 97) AS name", "CAST(id * 1.5 AS DOUBLE) AS v")
+    df.write.format("orc_rs").option("compression", codec).mode("overwrite").save(out)
+    back = spark.read.format("orc_rs").load(out)
+    assert back.count() == 5000
+    want = df.selectExpr("sum(id)", "sum(v)").first()
+    got = back.selectExpr("sum(id)", "sum(v)").first()
+    assert got[0] == want[0] and abs(got[1] - want[1]) < 1e-6
+    jvm = spark.read.orc(out)
+    assert jvm.count() == 5000 and jvm.selectExpr("sum(id)").first()[0] == want[0]
