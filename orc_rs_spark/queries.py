@@ -1335,6 +1335,81 @@ def q_orc_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([row], schema)
 
 
+@register(
+    "token_pack_bins",
+    """
+    WITH t AS ("""
+    + TOKEN_TABLE_SQL
+    + """),
+    p AS (SELECT doc_id, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS start FROM t)
+    SELECT doc_id, n_tok,
+           CAST(start // 2048 AS BIGINT) AS bin_id,
+           CAST(start % 2048 AS BIGINT) AS bin_offset
+    FROM p
+    """,
+)
+def q_token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-context windows: documents laid
+    head-to-tail in doc_id order, each assigned to the 2048-token bin
+    where it starts, with its in-bin offset. The implementation is the
+    DISTRIBUTED two-phase prefix sum (per-partition totals broadcast
+    back as offsets, window cumsum partitioned by partition id) — the
+    oracle is the sequential ``SUM OVER (ORDER BY)`` formulation, so a
+    hash match proves the parallel prefix sum equals the sequential
+    semantics row-for-row."""
+    from orc_rs_spark.textops.tokenops import pack_sequences
+
+    return pack_sequences(token_table_from_events(spark, sf_dir), window=2048)
+
+
+@register(
+    "token_vocab_stats",
+    """
+    WITH t AS ("""
+    + TOKEN_TABLE_SQL
+    + """),
+    e AS (SELECT unnest(tokens) AS token FROM t)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM e) AS share
+    FROM e GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+    """,
+)
+def q_token_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 token ids by corpus frequency with corpus share — the
+    tokenizer-audit histogram; one map-combinable groupBy on token id,
+    ties broken by id so the top-K is deterministic."""
+    from orc_rs_spark.textops.tokenops import token_vocab_stats
+
+    return token_vocab_stats(token_table_from_events(spark, sf_dir), top_k=100)
+
+
+@register(
+    "token_hash_sample",
+    """
+    WITH t AS ("""
+    + TOKEN_TABLE_SQL
+    + """)
+    SELECT doc_id, n_tok FROM t
+    WHERE CAST(('0x' || substr(md5('orc_rs' || doc_id), 1, 15)) AS BIGINT)
+          < CAST(0.25 * 1152921504606846976 AS BIGINT)
+    """,
+)
+def q_token_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli sample keyed on md5(salt || doc_id):
+    reproducible across engines and runs with zero RNG state — the
+    train/validation split primitive (disjoint salts give disjoint
+    samples). The oracle computes the identical integer threshold in
+    SQL, so the kept-row SET must match exactly, not just its size."""
+    from orc_rs_spark.textops.tokenops import hash_sample
+
+    return hash_sample(
+        token_table_from_events(spark, sf_dir).select("doc_id", "n_tok"), rate=0.25
+    )
+
+
 # ---------------------------------------------------------- gate ordering
 # The driver's correctness gate runs the FIRST 50 registered queries; any
 # beyond that silently fall out in file order (round 3 lost the whole
@@ -1353,6 +1428,14 @@ def q_orc_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All 56 still run in pytest (tests/test_driver_contract.py parametrizes
 # over every entry), so nothing loses CI evidence — only gate slots.
 _GATE_TAIL = [
+    "doc_fingerprints",  # one of five pure-JVM textstats-family gates;
+    # text_stats/token_counts/quality_score/langid keep the family gated
+    "dedup_ngram_jaccard",  # verifier-tier exact join; the gated
+    # dedup_minhash_lsh already carries exact-Jaccard verification on
+    # its candidates
+    "ann_topk_lsh",  # banded-LSH mechanism is gated via
+    # dedup_embedding_lsh + dedup_minhash_lsh; ann_cosine_topk (exact)
+    # and both IVF variants keep the ANN surface gated
     "rt_generic_decimal",  # decimal(18,x) surface stays double-gated via
     # rt_generic_decimal38 (the wider i128 path) + rt_orc_wire_decimal
     # (the ORC wire path); three decimal gate slots were redundant

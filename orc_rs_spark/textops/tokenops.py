@@ -1,0 +1,121 @@
+"""Token-sequence operators for training-data preparation: sequence
+packing, vocabulary statistics, deterministic sampling.
+
+These operate on the engine's token table shape (doc_id string,
+tokens array<int32>, n_tok int, source string) — the north-star input —
+and are all exactly SQL-expressible, so the DuckDB oracle certifies them
+value-for-value.
+
+Scale notes (100 TB posture):
+- pack_sequences needs a GLOBAL running token count; a naive
+  ``sum() over (order by doc_id)`` collapses to one partition. The
+  implementation uses the standard two-phase distributed prefix sum:
+  per-partition totals (tiny driver collect, one row per partition) are
+  broadcast back as offsets and the within-partition cumsum runs as a
+  window partitioned BY partition id — every stage parallel, nothing
+  driver-side scales with rows;
+- token_vocab_stats is one map-combinable groupBy on token id (shuffle
+  linear in distinct tokens, bounded by vocab size) + a broadcastable
+  top-K;
+- hash_sample is a stateless per-row expression (no shuffle, no RNG
+  state): md5-derived Bernoulli keep with an exact integer threshold,
+  reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(docs: DataFrame, window: int, key_col: str = "doc_id",
+                   len_col: str = "n_tok", partitions: int | None = None) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid head-to-tail
+    in ``key_col`` order and each is assigned to the context-window bin
+    where it STARTS (``bin_id = start_offset // window``), with its offset
+    inside that bin — the deterministic whole-document variant of the
+    standard LLM pack-into-context-windows step (a bin may overrun by at
+    most one document's tail, which the downstream tokenizer truncates or
+    carries).
+
+    Returns (key_col, len_col, bin_id, bin_offset), one row per document.
+    Equivalent SQL: ``SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` feeding integer division —
+    which is the oracle, while this implementation keeps the prefix sum
+    distributed (see module scale notes)."""
+    from pyspark.sql import Window
+
+    n_part = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        docs.select(key_col, len_col)
+        .repartitionByRange(n_part, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint()  # pin partitioning for the two phases
+    # phase 1: per-partition totals -> prefix offsets (one tiny collect,
+    # rows == partitions, never rows == table)
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ranged.groupBy("_pid").agg(F.sum(len_col).alias("t")).collect()
+    }
+    prefix = {}
+    acc = 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    prefix_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in prefix.items()], "_pid int, _prefix bigint"
+        )
+    )
+    # phase 2: parallel within-partition cumsum + broadcast offset
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(prefix_df, "_pid")
+        .withColumn("_start", F.coalesce(F.sum(len_col).over(w), F.lit(0)) + F.col("_prefix"))
+        .select(
+            key_col,
+            len_col,
+            (F.col("_start") / window).cast("long").alias("bin_id"),
+            (F.col("_start") % window).cast("long").alias("bin_offset"),
+        )
+    )
+
+
+def token_vocab_stats(docs: DataFrame, top_k: int = 100,
+                      tokens_col: str = "tokens") -> DataFrame:
+    """Top-K token ids by corpus frequency with counts and corpus share —
+    the vocabulary histogram a tokenizer-audit step reads. One
+    map-combinable groupBy on token id; ties broken by token id so the
+    result is deterministic (and oracle-comparable)."""
+    exploded = docs.select(F.explode(tokens_col).alias("token"))
+    total = exploded.count()
+    counts = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_k)
+        .select(
+            "token",
+            "n",
+            (F.col("n") / F.lit(float(total))).alias("share"),
+        )
+    )
+
+
+def hash_sample(docs: DataFrame, rate: float, key_col: str = "doc_id",
+                salt: str = "orc_rs") -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 15 hex
+    digits of md5(salt || key) fall under ``rate`` — reproducible across
+    runs, engines (the oracle computes the identical expression in SQL),
+    and table versions; no RNG state, no shuffle, no driver involvement.
+    Use distinct salts for disjoint samples (train/validation splits)."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"hash_sample: rate {rate} outside [0, 1]")
+    bound = int(rate * float(1 << 60))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 1, 15), 16, 10).cast("long")
+    return docs.where(h < F.lit(bound))
