@@ -81,7 +81,10 @@ def pack_sequences(docs: DataFrame, window: int, key_col: str = "doc_id",
         .select(
             key_col,
             len_col,
-            (F.col("_start") / window).cast("long").alias("bin_id"),
+            # integer DIV, not `/`: the float path would round-trip the
+            # running offset through a double, which loses exactness past
+            # 2^53 total tokens — reachable at the 10^12-sequence scale
+            F.expr(f"_start DIV {int(window)}").alias("bin_id"),
             (F.col("_start") % window).cast("long").alias("bin_offset"),
         )
     )
