@@ -35,7 +35,16 @@ def prepare_for_encode(
     scan. mode="hash": hash-repartition on doc_id — uniform and
     sampling-free (one scan less), for throughput-critical paths where the
     checkpoint pipeline's explicit bucketing supplies determinism instead.
+    mode="weighted": equalize TOKEN totals per partition (two-phase
+    distributed prefix sum, textops/tokenops.weighted_repartition) — the
+    defense when document-LENGTH skew makes row-balanced ranges
+    token-imbalanced (a few giant documents per web-corpus shard).
     """
+    if mode == "weighted":
+        from orc_rs_spark.textops.tokenops import weighted_repartition
+
+        n_part = partitions or df.sparkSession.sparkContext.defaultParallelism
+        return weighted_repartition(df, n_part)
     if mode == "hash":
         rp = df.repartition(partitions, "doc_id") if partitions else df.repartition("doc_id")
         return rp

@@ -122,3 +122,60 @@ def hash_sample(docs: DataFrame, rate: float, key_col: str = "doc_id",
     bound = int(rate * float(1 << 60))
     h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 1, 15), 16, 10).cast("long")
     return docs.where(h < F.lit(bound))
+
+
+def weighted_repartition(df: DataFrame, partitions: int,
+                         weight_col: str = "n_tok",
+                         key_col: str = "doc_id") -> DataFrame:
+    """Repartition so every partition carries a near-equal WEIGHT total
+    (token count), not a near-equal row count — the defense against
+    document-length skew, where a handful of giant documents make some
+    tasks token-heavy under plain row-based range partitioning.
+
+    Mechanism: the same two-phase distributed prefix sum as
+    pack_sequences computes each row's running weight offset; partition
+    id = offset DIV ceil(total/partitions), so boundaries fall on weight
+    quantiles exactly (one document may straddle a boundary and lands in
+    the partition where it starts). Costs one extra pass (per-partition
+    totals, one row per partition on the driver) plus the final
+    repartition shuffle; rows keep ``key_col`` order inside partitions."""
+    if partitions <= 0:
+        raise ValueError("weighted_repartition: partitions must be positive")
+    ranged = (
+        df.repartitionByRange(partitions, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .withColumn("_pid", F.spark_partition_id())
+    ).localCheckpoint()
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ranged.groupBy("_pid").agg(F.sum(weight_col).alias("t")).collect()
+    }
+    grand = sum(totals.values()) or 1
+    budget = -(-grand // partitions)  # ceil
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    prefix_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in prefix.items()], "_pid int, _prefix bigint"
+        )
+    )
+    binned = (
+        ranged.join(prefix_df, "_pid")
+        .withColumn(
+            "_wbin",
+            F.expr(f"(coalesce(sum({weight_col}) over (partition by _pid "
+                   f"order by {key_col} rows between unbounded preceding "
+                   f"and 1 preceding), 0) + _prefix) DIV {int(budget)}"),
+        )
+        .drop("_pid", "_prefix")
+    )
+    # range partitioning, not hash: ~`partitions` distinct bin ids hashed
+    # into `partitions` slots would birthday-collide (two bins sharing a
+    # task, another empty); ranges keep the bin -> partition map bijective
+    return (
+        binned.repartitionByRange(partitions, F.col("_wbin"), F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .drop("_wbin")
+    )

@@ -76,3 +76,77 @@ def test_hash_sample_deterministic_and_disjoint(spark):
     assert len(hash_sample(docs, 1.0).collect()) == 2000
     with pytest.raises(ValueError):
         hash_sample(docs, 1.5)
+
+
+def test_weighted_repartition_balances_token_skew(spark):
+    """Pathological length skew (1% of docs carry ~x300 tokens): plain
+    row-based range partitioning leaves some partitions token-heavy;
+    weighted_repartition balances the TOKEN totals to within ~2x of the
+    mean while preserving every row exactly once."""
+    from orc_rs_spark.textops.tokenops import weighted_repartition
+
+    n, parts = 2000, 8
+    docs = spark.range(n).select(
+        F.format_string("d%06d", F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 100 == 0, 3000).otherwise(10).cast("int").alias("n_tok"),
+    )
+    total = docs.agg(F.sum("n_tok")).first()[0]
+
+    def partition_token_sums(df):
+        return [
+            r.t for r in df.withColumn("_p", F.spark_partition_id())
+            .groupBy("_p").agg(F.sum("n_tok").alias("t")).collect()
+        ]
+
+    balanced_df = weighted_repartition(docs, parts)
+    balanced = partition_token_sums(balanced_df)
+    mean = total / parts
+    # row-balanced ranges CAN be token-balanced by luck with periodic skew,
+    # but the weighted variant must be balanced by CONSTRUCTION
+    assert max(balanced) <= 2.0 * mean, (balanced, mean)
+    assert min(balanced) >= 0.3 * mean, (balanced, mean)
+    assert len(balanced) <= parts
+    # no row lost or duplicated, content intact
+    assert balanced_df.count() == n
+    assert balanced_df.agg(F.sum("n_tok")).first()[0] == total
+    assert balanced_df.select("doc_id").distinct().count() == n
+
+
+def test_weighted_repartition_extreme_single_giant(spark):
+    """One document holding ~99% of all tokens: it gets a partition to
+    itself (whole docs never split), and the rest still spread."""
+    from orc_rs_spark.textops.tokenops import weighted_repartition
+
+    docs = spark.range(100).select(
+        F.format_string("d%03d", F.col("id")).alias("doc_id"),
+        F.when(F.col("id") == 50, 1_000_000).otherwise(100).cast("int").alias("n_tok"),
+    )
+    out = weighted_repartition(docs, 4)
+    sums = [
+        r.t for r in out.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p").agg(F.sum("n_tok").alias("t"),
+                           F.count(F.lit(1)).alias("c")).collect()
+    ]
+    assert out.count() == 100
+    assert max(sums) >= 1_000_000  # the giant lands somewhere whole
+
+
+def test_encode_table_weighted_mode_roundtrips(spark):
+    """encode_table(partition_mode="weighted") keeps bit-identical
+    round-trip through the chunk pipeline on a length-skewed corpus."""
+    from orc_rs_spark.decoder import decode_table
+    from orc_rs_spark.encoder import encode_table
+    from orc_rs_spark.fixtures import token_df
+
+    df = token_df(spark, 3000, seed=7)
+    chunks = encode_table(df, partitions=8, partition_mode="weighted")
+    back = decode_table(chunks)
+    want = df.agg(F.sum("n_tok"), F.count(F.lit(1))).first()
+    got = back.agg(F.sum("n_tok"), F.count(F.lit(1))).first()
+    assert (got[0], got[1]) == (want[0], want[1])
+    joined = (
+        df.select("doc_id", F.col("tokens").alias("a"))
+        .join(back.select("doc_id", F.col("tokens").alias("b")), "doc_id")
+        .where(F.col("a") != F.col("b"))
+    )
+    assert joined.count() == 0
