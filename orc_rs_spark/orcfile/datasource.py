@@ -374,24 +374,33 @@ class OrcRsStreamWriter(DataSourceStreamArrowWriter):
     commit and checkpoint write republishes the batch instead of
     duplicating rows.
 
-    The query token is derived from ``checkpointLocation`` (stable
-    across restarts of the SAME query — replay cleanup still finds the
-    pre-restart attempt's files — and distinct between queries, since
-    Spark requires one checkpoint dir per query), so two streaming
-    queries writing the same directory can never adopt each other's
-    batch ids and delete each other's files as stale replays."""
+    The query token is derived from the ``checkpointLocation`` OPTION
+    (stable across restarts of the SAME query — replay cleanup still
+    finds the pre-restart attempt's files — and distinct between
+    queries, since Spark requires one checkpoint dir per query), so two
+    streaming queries writing the same directory can never adopt each
+    other's batch ids and delete each other's files as stale replays.
+    The token also prefixes the task TEMP names, so concurrent queries'
+    in-flight writes cannot collide either. CONTRACT: when the option is
+    absent (checkpoint set only via session conf, which Spark does not
+    forward to the sink), the token is a constant — single-query replay
+    semantics stay exact, but concurrent sinks on one directory then
+    REQUIRE passing .option("checkpointLocation", ...) explicitly."""
 
     def __init__(self, options, schema):
         import hashlib
 
         self.opts = _WriteOptions(options)
         ckpt = options.get("checkpointLocation", "")
-        self.query_token = hashlib.sha256(ckpt.encode()).hexdigest()[:8]
+        self.query_token = (hashlib.sha256(ckpt.encode()).hexdigest()[:8]
+                            if ckpt else "00000000")
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> OrcWriteMessage:
         pid, attempt = _task_ids()
         os.makedirs(self.opts.path, exist_ok=True)
-        tmp = os.path.join(self.opts.path, f".stream-{pid:05d}.{attempt}.tmp")
+        tmp = os.path.join(
+            self.opts.path,
+            f".stream-q{self.query_token}-{pid:05d}.{attempt}.tmp")
         rows = _write_task_tmp(iterator, tmp, self.opts)
         if rows is None:
             return OrcWriteMessage(None, None, 0)
@@ -451,16 +460,16 @@ class OrcRsStreamReader(DataSourceStreamReader):
     is visible). Caveat: two CONCURRENT batch append jobs can commit
     out of token order; don't tail a directory with overlapping batch
     writers (the streaming sink serializes its own commits). That
-    misuse is DETECTED, not silent: each offset pass compares files
-    sorting below the previous watermark against the wall-clock moment
-    that watermark was established — a file whose inode change time
-    (ctime advances on the commit rename) is newer arrived out of name
-    order, would never be batched, and fails the stream loudly. The
-    check is in-memory (a restart re-arms it), costs one stat per
-    below-watermark file per pass — same order as the glob the offset
-    already does — and has no false positives from racing commits,
-    because files landing between the previous and current watermark
-    are still picked up by partitions()."""
+    misuse is DETECTED, not silent: partitions() records the names its
+    planning glob saw and the top of the planned range; a NEW name
+    later appearing at or below that mark was provably absent from
+    every covering batch's glob and fails the stream loudly. No clocks
+    involved, so the sink's idempotent same-name batch replays (which
+    rewrite files already in the seen set) and commits racing the
+    offset (which the planning glob still picks up) produce no false
+    positives. State is in-memory (a restart re-arms the check) and the
+    same order of memory as the directory listing each pass already
+    materializes."""
 
     def __init__(self, options, schema):
         import glob as _glob
@@ -478,10 +487,13 @@ class OrcRsStreamReader(DataSourceStreamReader):
         # AFTER the stream starts appear on restart, like Spark's own
         # file sources
         self.evolve = _evolve_on(options)
-        # late-arrival detector state: (watermark, wall time established),
-        # current and one pass back (see _check_late_arrivals)
-        self._cur_wm: tuple[str, float] = ("", 0.0)
-        self._prev_wm: tuple[str, float] = ("", 0.0)
+        # late-arrival detector state (see _check_late_arrivals): names
+        # every planning glob has listed, and the top of the planned
+        # range. In-memory only (a restart re-arms the check) and the
+        # same order of memory as the directory listing each offset pass
+        # already materializes.
+        self._seen: set[str] = set()
+        self._planned_hi: str = ""
         self._target = None
         if self.evolve:
             full = _evolve_full(options)
@@ -504,45 +516,31 @@ class OrcRsStreamReader(DataSourceStreamReader):
         return {"last": ""}
 
     def _check_late_arrivals(self, names: list[str]) -> None:
-        """Fail loudly if a file materialized BELOW an already-consumed
-        watermark (out-of-name-order producer) instead of silently never
-        batching it. ``_prev_wm`` is the watermark one offset pass back —
-        everything at or below it has been handed to partitions() — and
-        ``_prev_wm_time`` is when it was established; a below-watermark
-        file with a newer ctime committed after that moment."""
-        import time as _time
-
-        prev_name, prev_time = self._prev_wm
-        if prev_name:
-            for n in names:
-                if n > prev_name:
-                    break
-                try:
-                    ctime = os.stat(os.path.join(self.path, n)).st_ctime
-                except OSError:
-                    continue
-                if ctime > prev_time:
-                    raise RuntimeError(
-                        f"orc_rs stream source: file {n!r} appeared below the "
-                        f"consumed watermark {prev_name!r} (committed "
-                        f"{ctime - prev_time:.1f}s after that watermark's "
-                        "batch was planned) — an out-of-name-order producer "
-                        "wrote this directory; its rows would be silently "
-                        "lost. Use this package's time-ordered writers and do "
-                        "not run concurrent batch append jobs against a "
-                        "tailed directory."
-                    )
-        # promote: by the time latestOffset runs again, the batch ending
-        # at the previous watermark has been planned (Spark calls
-        # latestOffset once per trigger, after the prior batch's
-        # partitions), so files at/below it are final. The promotion
-        # TIME is now — a file that raced in between watermark
-        # establishment and batch planning was still picked up by
-        # partitions' fresh glob and must not be flagged.
-        cur = names[-1] if names else ""
-        self._prev_wm = (self._cur_wm[0], _time.time())
-        if cur != self._cur_wm[0]:
-            self._cur_wm = (cur, _time.time())
+        """Fail loudly if a NEW name materialized at or below the highest
+        already-PLANNED name: such a file was absent from the planning
+        glob of every batch that could have covered it (ranges only move
+        up), so it would never be batched. Exact bookkeeping, no clocks:
+        ``partitions()`` records the names its glob saw (``_seen``) and
+        the top of the planned range (``_planned_hi``); the sink's
+        idempotent same-name replays are in ``_seen`` and never flagged,
+        and a file racing in between offset and planning IS in the
+        planning glob, so no false positives either."""
+        hi = self._planned_hi
+        if not hi:
+            return
+        for n in names:
+            if n > hi:
+                break
+            if n not in self._seen:
+                raise RuntimeError(
+                    f"orc_rs stream source: file {n!r} appeared at or below "
+                    f"the already-planned watermark {hi!r} after that range "
+                    "was batched — an out-of-name-order producer wrote this "
+                    "directory; its rows would be silently lost. Use this "
+                    "package's time-ordered writers and do not run "
+                    "concurrent batch append jobs against a tailed "
+                    "directory."
+                )
 
     def latestOffset(self) -> dict:
         names = self._names()
@@ -553,9 +551,14 @@ class OrcRsStreamReader(DataSourceStreamReader):
         from orc_rs_spark.orcfile.spark_source import _plan_scan_threaded
 
         lo, hi = start.get("last", ""), end.get("last", "")
-        files = [
-            os.path.join(self.path, n) for n in self._names() if lo < n <= hi
-        ]
+        names = self._names()
+        # record the planning glob: every listed name <= hi is accounted
+        # for (planned now, planned earlier, or pre-stream catch-up);
+        # anything NEW at or below _planned_hi later is provably lost
+        self._seen.update(n for n in names if n <= hi)
+        if hi > self._planned_hi:
+            self._planned_hi = hi
+        files = [os.path.join(self.path, n) for n in names if lo < n <= hi]
         if not files:
             return []
         work = _plan_scan_threaded(files, None, require_uniform=not self.evolve)

@@ -380,8 +380,8 @@ def write_orc_dir(
     how large the partition is. Returns the number of rows written.
 
     Every part file's footer carries per-partition LINEAGE in its user
-    metadata (Footer field 5): the writing task's partition id and
-    attempt, plus any caller ``user_metadata`` (e.g. a job/run id) —
+    metadata (Footer field 5): the writing task's partition id, plus any
+    caller ``user_metadata`` (e.g. a job/run id) —
     auditable per-file provenance that survives merge_orc_files and
     reads back via ``read_tail(f).footer.metadata`` at one ~16 KiB tail
     read per file, no data bytes."""
@@ -411,9 +411,13 @@ def write_orc_dir(
             if b.num_rows == 0:
                 continue
             if writer is None:
+                # partition id only — NOT the attempt id: the task-commit
+                # last-win protocol relies on duplicate successful
+                # attempts producing byte-identical files, and an
+                # attempt-stamped footer would make which-attempt-won a
+                # visible race
                 lineage = dict(user_metadata or {})
                 lineage.setdefault("orc_rs_spark.partition", str(pid).encode())
-                lineage.setdefault("orc_rs_spark.attempt", str(attempt).encode())
                 writer = OrcWriter(
                     tmp, b.schema,
                     compression=compression, stripe_rows=stripe_rows,
@@ -944,24 +948,37 @@ def stats_aggregate(path: str | list[str], aggs: list[tuple[str, str | None]],
         paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(n_tasks)
 
         def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            import datetime as _dt
+
             for b in batches:
                 fs = b.column("path").to_pylist()
                 if not fs:
                     continue
                 merged = _combine_stat_partials(
                     [_file_stat_partial(f, aggs) for f in fs], aggs)
+                # explicit type TAG for date values — a string column's
+                # min/max can itself look like '2024-01-15' (or be a
+                # non-ISO 10-char value), so shape-sniffing the JSON on
+                # the driver would corrupt or crash string aggregates
+                tagged = {
+                    k: ({"__date__": v.isoformat()}
+                        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                        else v)
+                    for k, v in merged.items()
+                }
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array([json.dumps(merged, default=str)])], names=["j"])
+                    [pa.array([json.dumps(tagged)])], names=["j"])
 
         rows = paths_df.mapInArrow(partials, "j string").collect()
-        parts = [json.loads(r["j"]) for r in rows]
-        # JSON stringifies dates; re-parse them for date-typed aggregates
-        for p in parts:
-            for k, v in p.items():
-                if isinstance(v, str) and len(v) == 10 and v[4] == v[7] == "-":
-                    import datetime
+        import datetime
 
-                    p[k] = datetime.date.fromisoformat(v)
+        parts = []
+        for r in rows:
+            p = json.loads(r["j"])
+            for k, v in p.items():
+                if isinstance(v, dict) and "__date__" in v:
+                    p[k] = datetime.date.fromisoformat(v["__date__"])
+            parts.append(p)
         return _combine_stat_partials(parts, aggs)
     from concurrent.futures import ThreadPoolExecutor
 

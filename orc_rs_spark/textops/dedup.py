@@ -94,9 +94,9 @@ def minhash_lsh_pairs(
 
     Degenerate buckets (identical/boilerplate content — run ``exact_dedup``
     first as the documented contract) are capped at ``bucket_cap`` members:
-    above it the all-pairs join degrades to a verified anchor star
-    (see _capped_band_pairs), keeping candidates O(C * bands) per cluster
-    instead of C^2/2.
+    above it the all-pairs join degrades to verified sub-bucket pairs +
+    an anchor chain (see _capped_band_pairs), keeping candidates
+    O(C * sqrt(cap)) per bucket instead of C^2/2.
     """
     rows = k // bands
     sig = minhash_signatures(docs, k, text_col, key_col)
@@ -158,37 +158,62 @@ def _capped_band_pairs(stacked: DataFrame, key_col: str, bucket_cap: int,
       ``bucket_cap`` are few by construction (at most rows/cap), so the
       oversized-bucket list is broadcast, never shuffled;
     - rows in small buckets take the normal all-pairs equi-join;
-    - rows in oversized buckets fall back to a STAR: every member is
-      paired with the bucket's minimum-key member (the anchor) — C-1
-      candidates instead of C^2/2, and the induced graph has diameter 2,
-      so dup_clusters converges immediately. Star candidates flow through
-      the same exact verification as join candidates, so cluster-level
-      recall survives (a verified star keeps a genuine near-dup cluster
-      connected) while candidate count drops to O(C * bands).
+    - rows in oversized buckets split into SUB-BUCKETS of ~sqrt(cap)
+      members (by key order): ALL pairs inside each sub-bucket, plus a
+      chain linking consecutive sub-bucket anchors — O(C * sqrt(cap))
+      candidates instead of C^2/2. Unlike a single global anchor, no
+      lone hash-collision outlier can void a whole bucket's recall:
+      within a sub-bucket recall is exact, and every candidate (intra or
+      chain) still passes the caller's exact verification, so genuine
+      near-dup clusters stay connected for dup_clusters (whose pointer
+      doubling handles the chain depth in O(log) rounds).
 
-    Returns ``(small_rows, star_pairs)``: ``small_rows`` has stacked's
-    schema; ``star_pairs`` has (d1, d2) plus ``<c>_1``/``<c>_2`` for
-    every carried column, with d1 = anchor < d2.
+    Honest limit: pair-level recall ACROSS sub-buckets of a degenerate
+    bucket is not exhaustive — by construction, that is the price of
+    bounding C^2. Exact-recall contracts (simhash's pigeonhole) hold
+    whenever buckets stay within ``bucket_cap``.
+
+    Returns ``(small_rows, extra_pairs)``: ``small_rows`` has stacked's
+    schema; ``extra_pairs`` has (d1, d2) plus ``<c>_1``/``<c>_2`` for
+    every carried column, with d1 < d2.
     """
     from pyspark.sql import Window
 
     carry = carry or []
+    sub_size = max(2, int(bucket_cap ** 0.5))
     sizes = stacked.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_bn"))
     big = sizes.where(F.col("_bn") > bucket_cap).select("band", "val")
     small = stacked.join(F.broadcast(big), ["band", "val"], "left_anti")
     big_rows = stacked.join(F.broadcast(big), ["band", "val"], "left_semi")
-    # default frame (unboundedPreceding..currentRow): first() == bucket min
     w = Window.partitionBy("band", "val").orderBy(key_col)
-    anchored = big_rows.withColumn("_anchor", F.first(key_col).over(w))
-    for c in carry:
-        anchored = anchored.withColumn(f"_anchor_{c}", F.first(c).over(w))
-    star = anchored.where(F.col(key_col) != F.col("_anchor")).select(
-        F.col("_anchor").alias("d1"),
-        F.col(key_col).alias("d2"),
-        *[F.col(f"_anchor_{c}").alias(f"{c}_1") for c in carry],
-        *[F.col(c).alias(f"{c}_2") for c in carry],
+    sub = big_rows.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
+        "_sub", F.floor(F.col("_rn") / sub_size)
     )
-    return small, star
+    x, y = sub.alias("x"), sub.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.val") == F.col("y.val"))
+        & (F.col("x._sub") == F.col("y._sub"))
+        & (F.col(f"x.{key_col}") < F.col(f"y.{key_col}")),
+    ).select(
+        F.col(f"x.{key_col}").alias("d1"),
+        F.col(f"y.{key_col}").alias("d2"),
+        *[F.col(f"x.{c}").alias(f"{c}_1") for c in carry],
+        *[F.col(f"y.{c}").alias(f"{c}_2") for c in carry],
+    )
+    anchors = sub.where(F.col("_rn") % sub_size == 0)
+    wa = Window.partitionBy("band", "val").orderBy(key_col)
+    chained = anchors.withColumn("_nxt", F.lead(key_col).over(wa))
+    for c in carry:
+        chained = chained.withColumn(f"_nxt_{c}", F.lead(c).over(wa))
+    chain = chained.where(F.col("_nxt").isNotNull()).select(
+        F.col(key_col).alias("d1"),
+        F.col("_nxt").alias("d2"),
+        *[F.col(c).alias(f"{c}_1") for c in carry],
+        *[F.col(f"_nxt_{c}").alias(f"{c}_2") for c in carry],
+    )
+    return small, within.unionByName(chain)
 
 
 def _word_hash64(col, hash_fn: str):
@@ -248,7 +273,7 @@ def simhash_pairs(
     (k+1) rows per document (linear); bucket sizes stay tiny because a
     15-bit band collides only for genuinely similar text — except for
     identical/boilerplate clusters, which the ``bucket_cap`` guard
-    degrades to a verified anchor star (run ``exact_dedup`` first;
+    degrades to verified sub-bucket pairs (run ``exact_dedup`` first;
     see _capped_band_pairs).
     """
     nb = max_hamming + 1

@@ -96,8 +96,10 @@ def token_vocab_stats(docs: DataFrame, top_k: int = 100,
     the vocabulary histogram a tokenizer-audit step reads. One
     map-combinable groupBy on token id; ties broken by token id so the
     result is deterministic (and oracle-comparable)."""
+    # denominator WITHOUT exploding (size() is per-row, no shuffle) — an
+    # exploded .count() would run the most expensive pass twice
+    total = docs.agg(F.sum(F.size(tokens_col))).first()[0] or 0
     exploded = docs.select(F.explode(tokens_col).alias("token"))
-    total = exploded.count()
     counts = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return (
         counts.orderBy(F.col("n").desc(), F.col("token").asc())

@@ -361,12 +361,17 @@ def test_stream_source_detects_out_of_order_producer(tmp_path):
     write_orc(t, os.path.join(d, "part-zzz.orc"))
     reader = OrcRsStreamReader(
         {"path": d}, StructType([StructField("id", LongType())]))
-    assert reader.latestOffset() == {"last": "part-zzz.orc"}  # establish
-    assert reader.latestOffset() == {"last": "part-zzz.orc"}  # promote
-    time.sleep(0.05)
-    # late arrival sorting below the planned watermark
+    off = reader.latestOffset()
+    assert off == {"last": "part-zzz.orc"}
+    parts = reader.partitions({"last": ""}, off)  # plan the batch
+    assert parts
+    # the sink's idempotent REPLAY of an already-planned name is fine
+    time.sleep(0.02)
+    write_orc(t, os.path.join(d, "part-zzz.orc"))
+    assert reader.latestOffset() == off
+    # but a NEW name below the planned watermark is provably lost -> loud
     write_orc(t, os.path.join(d, "part-aaa.orc"))
-    with _pytest.raises(RuntimeError, match="below the consumed watermark"):
+    with _pytest.raises(RuntimeError, match="already-planned watermark"):
         reader.latestOffset()
 
 

@@ -401,8 +401,9 @@ def test_merge_preserves_user_metadata(tmp_path):
 
 def test_write_orc_dir_stamps_partition_lineage(spark, tmp_path):
     """Each part file's footer user metadata carries the writing task's
-    partition id + attempt (plus caller KV) — per-partition lineage
-    readable from tails alone, surviving merge."""
+    partition id (plus caller KV) — per-partition lineage readable from
+    tails alone, surviving merge. Deliberately NOT the attempt id: the
+    last-win commit protocol needs duplicate attempts byte-identical."""
     from orc_rs_spark.orcfile.reader import read_tail
     from orc_rs_spark.orcfile.spark_source import write_orc_dir
 
