@@ -506,12 +506,13 @@ from hypothesis import strategies as hst  # noqa: E402
         min_size=1,
         max_size=50,
     ),
-    codec=hst.sampled_from(["zlib", "none"]),
+    codec=hst.sampled_from(["zlib", "none", "snappy", "lz4", "zstd"]),
 )
 @settings(max_examples=40, deadline=None)
 def test_writer_reader_fuzz(rows, codec, tmp_path_factory):
     """Property: any (nullable) table of longs/strings/doubles/int-lists
-    round-trips through the ORC writer + reader bit-exactly."""
+    round-trips through the ORC writer + reader bit-exactly — under every
+    block codec, including the round-5 from-spec/pyarrow encoders."""
     import pyarrow as pa
 
     from orc_rs_spark.orcfile.writer import write_orc
