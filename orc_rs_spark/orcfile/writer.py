@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from orc_rs_spark.kernels.blockcomp import block_compress
+from orc_rs_spark.kernels.blockcomp import LZ_BLOCK, block_compress
 from orc_rs_spark.kernels.byte_rle import boolean_rle_encode, byte_rle_encode
 from orc_rs_spark.kernels.rlev2 import rlev2_encode
 from orc_rs_spark.orcfile import proto
@@ -342,7 +342,14 @@ class _StripeWriter:
         self.sums: dict[int, int | float] = {}
 
     def _emit(self, col: int, kind_enum: int, raw: bytes):
-        data = block_compress(raw, self.codec) if self.codec != "none" else raw
+        # every compressed chunk's DECOMPRESSED size is capped at the
+        # postscript's declared compressionBlockSize (LZ_BLOCK) — readers
+        # may size decode buffers from that declaration, so zlib must not
+        # chunk at the 8 MiB header limit (round-5 ADVICE)
+        data = (
+            block_compress(raw, self.codec, max_block=LZ_BLOCK)
+            if self.codec != "none" else raw
+        )
         self.streams.append((col, kind_enum, data))
 
     def _emit_bits(self, col: int, kind_enum: int, bits: np.ndarray):
@@ -633,7 +640,8 @@ class OrcWriter:
             sfooter += _field_bytes(2, body)
         sfooter += _field_bytes(3, b"UTC")
         sfooter_comp = (
-            block_compress(sfooter, self.compression) if self.compression != "none" else sfooter
+            block_compress(sfooter, self.compression, max_block=LZ_BLOCK)
+            if self.compression != "none" else sfooter
         )
         self._f.write(sfooter_comp)
         self._pos += len(sfooter_comp)
@@ -769,7 +777,7 @@ class OrcWriter:
                 for g in range(len(chunks)):
                     lo, hi = seg_starts[g], seg_starts[g + 1]
                     raw = byte_rle_encode(bytestream[lo:hi]) if hi > lo else b""
-                    enc = block_compress(raw, self.compression) if comp else raw
+                    enc = block_compress(raw, self.compression, max_block=LZ_BLOCK) if comp else raw
                     offs.append(off)
                     off += len(enc)
                     enc_parts.append(enc)
@@ -781,7 +789,7 @@ class OrcWriter:
             else:
                 enc_parts, offs, off = [], [], 0
                 for raw in chunks:
-                    enc = block_compress(raw, self.compression) if comp else raw
+                    enc = block_compress(raw, self.compression, max_block=LZ_BLOCK) if comp else raw
                     offs.append(off)
                     off += len(enc)
                     enc_parts.append(enc)
@@ -795,7 +803,7 @@ class OrcWriter:
         for c, d in forced.items():
             if d is not None:
                 for knum, raw in _dictionary_streams(d):
-                    data = block_compress(raw, self.compression) if comp else raw
+                    data = block_compress(raw, self.compression, max_block=LZ_BLOCK) if comp else raw
                     dict_streams.append((c, knum, data))
 
         # ---- ROW_INDEX streams: one per column, one entry per group
@@ -824,7 +832,8 @@ class OrcWriter:
                 entry = (_field_packed(1, slots) if slots else b"") + _field_bytes(2, stats)
                 entries += _field_bytes(1, entry)
             index_streams.append(
-                (col, block_compress(entries, self.compression) if comp else entries)
+                (col, block_compress(entries, self.compression, max_block=LZ_BLOCK)
+                 if comp else entries)
             )
 
         # ---- bloom filter streams (opt-in): one BLOOM_FILTER_UTF8 per
@@ -871,7 +880,8 @@ class OrcWriter:
                         bf.add_string_parts(buf, starts - begin, lengths)
                     body += _field_bytes(1, bf.to_proto_body())
                 bloom_streams[col] = (
-                    block_compress(body, self.compression) if comp else body
+                    block_compress(body, self.compression, max_block=LZ_BLOCK)
+                    if comp else body
                 )
 
         # ---- physical layout: index region (ROW_INDEX then the column's
@@ -940,7 +950,7 @@ class OrcWriter:
                 ss = b"".join(_field_bytes(1, body) for body in per_col)
                 metadata += _field_bytes(1, ss)
             metadata = (
-                block_compress(metadata, self.compression)
+                block_compress(metadata, self.compression, max_block=LZ_BLOCK)
                 if self.compression != "none" else metadata
             )
             self._f.write(metadata)
@@ -972,13 +982,14 @@ class OrcWriter:
         footer += _field_varint(8, self.row_index_stride)
         footer += _field_varint(9, 1)  # writer: ORC C++ code slot (non-Java)
         footer_comp = (
-            block_compress(footer, self.compression) if self.compression != "none" else footer
+            block_compress(footer, self.compression, max_block=LZ_BLOCK)
+            if self.compression != "none" else footer
         )
         self._f.write(footer_comp)
 
         ps = _field_varint(1, len(footer_comp))
         ps += _field_varint(2, self.codec_enum)
-        ps += _field_varint(3, 256 * 1024)
+        ps += _field_varint(3, LZ_BLOCK)
         ps += _field_packed(4, [0, 12])
         ps += _field_varint(5, len(metadata))
         ps += _field_varint(6, 6)  # writerVersion

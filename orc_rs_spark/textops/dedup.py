@@ -84,7 +84,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     text_col: str = "text",
     key_col: str = "doc_id",
-    bucket_cap: int = 1000,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH candidates (band buckets) + exact Jaccard verification.
 
@@ -96,7 +96,9 @@ def minhash_lsh_pairs(
     first as the documented contract) are capped at ``bucket_cap`` members:
     above it the all-pairs join degrades to verified sub-bucket pairs +
     an anchor chain (see _capped_band_pairs), keeping candidates
-    O(C * sqrt(cap)) per bucket instead of C^2/2.
+    O(C * sqrt(cap)) per bucket instead of C^2/2. Pass
+    ``bucket_cap=None`` to disable the guard and restore the exact
+    "equals jaccard_pairs" contract regardless of bucket size.
     """
     rows = k // bands
     sig = minhash_signatures(docs, k, text_col, key_col)
@@ -173,12 +175,23 @@ def _capped_band_pairs(stacked: DataFrame, key_col: str, bucket_cap: int,
     bounding C^2. Exact-recall contracts (simhash's pigeonhole) hold
     whenever buckets stay within ``bucket_cap``.
 
+    ``bucket_cap=None`` (or <= 0) DISABLES the guard: every bucket takes
+    the exhaustive all-pairs join, restoring the exact-recall contracts
+    (minhash "equals exact jaccard_pairs", simhash's pigeonhole) for
+    callers who need them and accept the C^2 worst case (ADVICE round-5:
+    the default cap silently weakened those published contracts with no
+    opt-out).
+
     Returns ``(small_rows, extra_pairs)``: ``small_rows`` has stacked's
     schema; ``extra_pairs`` has (d1, d2) plus ``<c>_1``/``<c>_2`` for
     every carried column, with d1 < d2.
     """
     from pyspark.sql import Window
 
+    if bucket_cap is None or bucket_cap <= 0:
+        # guard off: no bucket is "big", so small_rows = all rows and the
+        # extra-pairs side is structurally empty (same plan, zero rows)
+        bucket_cap = 1 << 62
     carry = carry or []
     sub_size = max(2, int(bucket_cap ** 0.5))
     sizes = stacked.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_bn"))
@@ -261,7 +274,7 @@ def simhash_pairs(
     text_col: str = "text",
     key_col: str = "doc_id",
     hash_fn: str = "md5_60",
-    bucket_cap: int = 1000,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
@@ -274,7 +287,8 @@ def simhash_pairs(
     15-bit band collides only for genuinely similar text — except for
     identical/boilerplate clusters, which the ``bucket_cap`` guard
     degrades to verified sub-bucket pairs (run ``exact_dedup`` first;
-    see _capped_band_pairs).
+    see _capped_band_pairs). ``bucket_cap=None`` disables the guard,
+    making the recall-exactly-1 pigeonhole contract unconditional.
     """
     nb = max_hamming + 1
     width = bits // nb
@@ -456,7 +470,7 @@ def embedding_lsh_pairs(
     rows_per_band: int = 2,
     dim: int = 64,
     seed: int = 42,
-    bucket_cap: int = 1000,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Bucketed embedding near-dup pairs: banded random-hyperplane LSH
     candidates + exact cosine verification (the minhash_lsh_pairs pattern

@@ -118,10 +118,21 @@ def hash_sample(docs: DataFrame, rate: float, key_col: str = "doc_id",
     digits of md5(salt || key) fall under ``rate`` — reproducible across
     runs, engines (the oracle computes the identical expression in SQL),
     and table versions; no RNG state, no shuffle, no driver involvement.
-    Use distinct salts for disjoint samples (train/validation splits)."""
+    Use distinct salts for disjoint samples (train/validation splits).
+
+    The keep-threshold is computed EXACTLY as floor(rate * 2^60) over the
+    rate float's true binary value (Fraction avoids the double-rounding of
+    ``rate * float(1 << 60)``, which could shift the bound by 1 and flip a
+    boundary row). Cross-engine bit-reproducibility is unconditional for
+    dyadic-rational rates (0.25, 0.5, 1/1024, ...) where the float is the
+    rate itself; for rates like 0.1 the oracle must floor the same float's
+    value (decimal-arithmetic engines computing 0.1 * 2^60 exactly land on
+    a different integer)."""
     if not (0.0 <= rate <= 1.0):
         raise ValueError(f"hash_sample: rate {rate} outside [0, 1]")
-    bound = int(rate * float(1 << 60))
+    from fractions import Fraction
+
+    bound = int(Fraction(rate) * (1 << 60))
     h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 1, 15), 16, 10).cast("long")
     return docs.where(h < F.lit(bound))
 

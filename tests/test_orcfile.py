@@ -1700,3 +1700,39 @@ def test_user_metadata_roundtrip_and_lineage(tmp_path):
     write_orc(t, p2)
     md2 = read_tail(p2).footer.metadata
     assert list(md2) == ["orc_rs_spark.writer"]
+
+
+def test_zlib_blocks_respect_declared_block_size(tmp_path):
+    """The postscript declares compressionBlockSize = 256 KiB; every
+    compressed chunk's DECOMPRESSED size must stay within it. Round-5
+    ADVICE: zlib used to chunk at the 8 MiB header limit while the other
+    codecs honoured 256 KiB, so readers sizing decode buffers from the
+    declaration could reject large zlib streams."""
+    import zlib as _z
+
+    import pyarrow as pa
+
+    from orc_rs_spark.kernels.blockcomp import LZ_BLOCK
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    # ~2 MiB of per-row-distinct strings in one stripe -> raw DATA > 256 KiB
+    vals = [("row-%06d " % i) * 20 for i in range(10_000)]
+    path = str(tmp_path / "big_zlib.orc")
+    write_orc(pa.table({"s": pa.array(vals)}), path, compression="zlib")
+    r = OrcFileReader(path)
+    rd, _ = r._open_stripe(0)
+    most_blocks = 0
+    for (col, kind), raw in rd.streams.items():
+        pos, blocks = 0, 0
+        while pos < len(raw):
+            header = int.from_bytes(raw[pos : pos + 3], "little")
+            pos += 3
+            ln = header >> 1
+            blk = raw[pos : pos + ln]
+            pos += ln
+            out = blk if header & 1 else _z.decompress(blk, wbits=-15)
+            assert len(out) <= LZ_BLOCK, (col, kind, len(out))
+            blocks += 1
+        most_blocks = max(most_blocks, blocks)
+    assert most_blocks >= 2  # non-vacuous: some stream actually spans blocks
+    assert r.read_all().column("s").to_pylist() == vals

@@ -545,3 +545,33 @@ def test_dup_clusters_chain_graph_converges(spark):
     out = dup_clusters(edges)
     assert out.count() == n
     assert out.select("cluster_id").distinct().collect()[0][0] == "c000000"
+
+
+def test_bucket_cap_none_restores_exhaustive_recall(spark):
+    """bucket_cap=None (round-5 ADVICE) disables the degenerate-bucket
+    guard: the published exact contracts (simhash pigeonhole recall = 1,
+    minhash == exact jaccard_pairs) hold unconditionally again, at the
+    documented C^2 worst-case price."""
+    from pyspark.sql import functions as F
+
+    from orc_rs_spark.textops.dedup import _capped_band_pairs, simhash_pairs
+
+    n = 120
+    stacked = spark.range(n).select(
+        F.format_string("d%05d", F.col("id")).alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.lit(12345).cast("long").alias("val"),
+    )
+    small, extra = _capped_band_pairs(stacked, "doc_id", bucket_cap=None)
+    assert small.count() == n and extra.count() == 0
+    small0, extra0 = _capped_band_pairs(stacked, "doc_id", bucket_cap=0)
+    assert small0.count() == n and extra0.count() == 0
+
+    # identical texts, cluster far above a tiny cap: the capped run drops
+    # cross-sub-bucket pairs by design; cap=None returns every C(n,2) pair
+    docs = spark.range(n).select(
+        F.format_string("d%05d", F.col("id")).alias("doc_id"),
+        F.lit("the same boilerplate page text repeated everywhere").alias("text"),
+    )
+    assert simhash_pairs(docs, bucket_cap=None).count() == n * (n - 1) // 2
+    assert simhash_pairs(docs, bucket_cap=16).count() < n * (n - 1) // 2

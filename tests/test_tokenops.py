@@ -150,3 +150,26 @@ def test_encode_table_weighted_mode_roundtrips(spark):
         .where(F.col("a") != F.col("b"))
     )
     assert joined.count() == 0
+
+
+def test_hash_sample_bound_is_exact(spark):
+    """The keep-threshold is floor(rate * 2^60) over the rate float's
+    EXACT binary value (round-5 ADVICE: ``rate * float(1 << 60)`` double-
+    rounds and can shift the bound by one, flipping a boundary row).
+    Pure-Python md5 arithmetic with the Fraction bound must reproduce the
+    kept set bit-for-bit — including at the non-dyadic rate 0.1."""
+    import hashlib
+    from fractions import Fraction
+
+    from orc_rs_spark.textops.tokenops import hash_sample
+
+    docs = _docs(spark, 1500)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for rate in (0.1, 0.25, 1 / 1024):
+        got = {r.doc_id for r in hash_sample(docs, rate, salt="s").collect()}
+        bound = int(Fraction(rate) * (1 << 60))
+        want = {
+            d for d in ids
+            if int(hashlib.md5(("s" + d).encode()).hexdigest()[:15], 16) < bound
+        }
+        assert got == want, f"rate={rate}"
