@@ -59,6 +59,26 @@ def main() -> None:
     df = spark.read.parquet(cache_dir)
     n_values = int(df.agg(F.sum("n_tok")).collect()[0][0])
 
+    # prove codec-registry routing FROM INSIDE AN EXECUTOR TASK (round-5
+    # verdict: the official zstd write number was 30x the builder's best —
+    # this pins whether executors see the native pyarrow codec tier or the
+    # from-spec Python fallbacks in the driver-visible artifact)
+    def _probe(batches):
+        import json as _json
+
+        import pyarrow as _pa
+
+        from orc_rs_spark.kernels.blockcomp import NATIVE_CODECS
+
+        for b in batches:
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array([_json.dumps(NATIVE_CODECS, sort_keys=True)])],
+                names=["reg"],
+            )
+    native_codecs_executor = (
+        spark.range(1).mapInArrow(_probe, "reg string").collect()[0]["reg"]
+    )
+
     # warm the stack (JVM codegen, python workers, import costs) so the
     # timed queries measure steady-state throughput, not spin-up
     encode_table(df.limit(2000), repartition=False).count()
@@ -132,17 +152,27 @@ def main() -> None:
     # informational: the same wire write/read with the zstd codec (round-5
     # registry: pyarrow's bundled libzstd encode, FCS-exact decode) — the
     # compression knob a 100 TB deployment would actually turn; zlib stays
-    # the timed q6/q7 so walls remain cross-round comparable
+    # the timed q6/q7 so walls remain cross-round comparable. Level 14 is
+    # the measured size winner vs Spark's own zstd ORC writer (level 3,
+    # its default, loses ~6% to Spark on identical rows; 14 wins ~5% at
+    # ~7 MB/s/core — the write-once archival trade).
+    ZSTD_LEVEL = 14
     zstd_dir = f"{work_dir}/orc_wire_zstd"
     t0 = time.time()
     write_orc_dir(df.repartition(int(cpus) if cpus.isdigit() else 32), zstd_dir,
-                  compression="zstd")
+                  compression="zstd", compression_level=ZSTD_LEVEL)
     zstd_write_sec = time.time() - t0
     t0 = time.time()
     zstd_vals = int(read_orc(spark, zstd_dir).agg(F.sum("n_tok")).collect()[0][0])
     zstd_read_sec = time.time() - t0
     assert zstd_vals == n_values, "zstd wire round-trip lost values"
     zstd_wire_bytes = dir_size(zstd_dir)
+
+    # the size bar: Spark's own zstd ORC writer on identical rows (the
+    # same north-star comparison q4 runs for zlib)
+    df.write.mode("overwrite").option("compression", "zstd").orc(
+        f"{work_dir}/orc_zstd_spark")
+    spark_zstd_bytes = dir_size(f"{work_dir}/orc_zstd_spark")
 
     total = sum(timings.values())
     result = {
@@ -169,7 +199,11 @@ def main() -> None:
         "orc_wire_zstd_write_sec": round(zstd_write_sec, 3),
         "orc_wire_zstd_read_sec": round(zstd_read_sec, 3),
         "orc_wire_zstd_bytes": zstd_wire_bytes,
+        "orc_wire_zstd_level": ZSTD_LEVEL,
+        "spark_orc_zstd_bytes": spark_zstd_bytes,
+        "vs_orc_zstd": round(zstd_wire_bytes / max(1, spark_zstd_bytes), 4),
         "orc_wire_zstd_vs_zlib_bytes": round(zstd_wire_bytes / max(1, orc_wire_bytes), 4),
+        "native_codecs_executor": native_codecs_executor,
         "orc_pruned_lookup_sec": round(pruned_lookup_sec, 3),
         "orc_pruned_lookup_vs_full_read": round(
             pruned_lookup_sec / timings["q7_orc_wire_read"], 3

@@ -56,13 +56,22 @@ def _zstd_frame_content_size(data: bytes) -> int | None:
     return v + 256 if fcs_flag == 1 else v
 
 
+# codec-appropriate defaults when the caller doesn't pick a level: zlib 6
+# (stdlib default-ish, matches the historical output bytes), zstd 3 (the
+# ORC Java writer / Spark default — level 1, pyarrow's own default, costs
+# ~4% size on token data for little speed gain at these block sizes)
+DEFAULT_LEVELS = {"zlib": 6, "zstd": 3}
+
+
 def _build_registry():
     """(encoders, decoders, native_names) — native lib when importable,
-    from-spec kernel otherwise. Import-gated exactly once."""
+    from-spec kernel otherwise. Import-gated exactly once. Every encoder
+    takes (data, level); codecs without a level knob ignore it."""
     from orc_rs_spark.kernels import lzblocks
 
-    enc = {"zlib": _deflate, "snappy": lzblocks.snappy_compress,
-           "lz4": lzblocks.lz4_block_compress}
+    enc = {"zlib": lambda b, lv: _deflate(b, lv),
+           "snappy": lambda b, lv: lzblocks.snappy_compress(b),
+           "lz4": lambda b, lv: lzblocks.lz4_block_compress(b)}
     dec = {"zlib": lambda b: _inflate(b), "snappy": lzblocks.snappy_decompress,
            "lz4": lzblocks.lz4_block_decompress}
     native: dict[str, str] = {}
@@ -72,7 +81,8 @@ def _build_registry():
 
         return zstd_decompress(b)
 
-    def _zstd_enc_fallback(b: bytes) -> bytes:
+    def _zstd_enc_fallback(b: bytes, lv: int) -> bytes:
+        # the from-spec encoder has one strategy; level is advisory only
         from orc_rs_spark.kernels.zstd_enc import zstd_compress
 
         return zstd_compress(b)
@@ -109,15 +119,23 @@ def _build_registry():
                     shift += 7
                 return bytes(_snappy_c.decompress(b, decompressed_size=ulen))
 
-            enc["snappy"] = lambda b: bytes(_snappy_c.compress(b))
+            enc["snappy"] = lambda b, lv: bytes(_snappy_c.compress(b))
             dec["snappy"] = _pa_snappy_dec
             native["snappy"] = "pyarrow"
         if _pa.Codec.is_available("lz4_raw"):
             _lz4_c = _pa.Codec("lz4_raw")
-            enc["lz4"] = lambda b: bytes(_lz4_c.compress(b))
+            enc["lz4"] = lambda b, lv: bytes(_lz4_c.compress(b))
             native["lz4"] = "pyarrow (encode; decode from-spec)"
         if _pa.Codec.is_available("zstd"):
             _zstd_c = _pa.Codec("zstd")
+            _zstd_by_level: dict[int, object] = {}
+
+            def _pa_zstd_enc(b: bytes, lv: int) -> bytes:
+                c = _zstd_by_level.get(lv)
+                if c is None:
+                    c = _zstd_by_level.setdefault(
+                        lv, _pa.Codec("zstd", compression_level=lv))
+                return bytes(c.compress(b))
 
             def _pa_zstd_dec(b: bytes) -> bytes:
                 size = _zstd_frame_content_size(b)
@@ -125,7 +143,7 @@ def _build_registry():
                     return _zstd_dec_fallback(b)
                 return bytes(_zstd_c.decompress(b, decompressed_size=size))
 
-            enc["zstd"] = lambda b: bytes(_zstd_c.compress(b))
+            enc["zstd"] = _pa_zstd_enc
             dec["zstd"] = _pa_zstd_dec
             native["zstd"] = "pyarrow"
     except ImportError:
@@ -134,7 +152,7 @@ def _build_registry():
     try:  # python-snappy (C bindings)
         import snappy as _snappy  # type: ignore
 
-        enc["snappy"] = _snappy.compress
+        enc["snappy"] = lambda b, lv: _snappy.compress(b)
         dec["snappy"] = _snappy.decompress
         native["snappy"] = "python-snappy"
     except ImportError:
@@ -142,7 +160,7 @@ def _build_registry():
     try:  # lz4.block matches ORC's framed block format (store_size=False)
         import lz4.block as _lz4b  # type: ignore
 
-        enc["lz4"] = lambda b: _lz4b.compress(b, store_size=False)
+        enc["lz4"] = lambda b, lv: _lz4b.compress(b, store_size=False)
         dec["lz4"] = lambda b: _lz4b.decompress(b, uncompressed_size=MAX_BLOCK)
         native["lz4"] = "lz4"
     except ImportError:
@@ -150,16 +168,24 @@ def _build_registry():
     try:
         import zstandard as _zstd  # type: ignore
 
-        _zc = _zstd.ZstdCompressor(write_checksum=False, write_content_size=True)
+        _zcs: dict[int, object] = {}
+
+        def _zstd_lib_enc(b: bytes, lv: int) -> bytes:
+            c = _zcs.get(lv)
+            if c is None:
+                c = _zcs.setdefault(lv, _zstd.ZstdCompressor(
+                    level=lv, write_checksum=False, write_content_size=True))
+            return c.compress(b)
+
         _zd = _zstd.ZstdDecompressor()
-        enc["zstd"] = _zc.compress
+        enc["zstd"] = _zstd_lib_enc
         dec["zstd"] = lambda b: _zd.decompress(b, max_output_size=MAX_BLOCK)
         native["zstd"] = "zstandard"
     except ImportError:
         try:  # cramjam bundles rust codecs for all three
             import cramjam  # type: ignore
 
-            enc["zstd"] = lambda b: bytes(cramjam.zstd.compress(b))
+            enc["zstd"] = lambda b, lv: bytes(cramjam.zstd.compress(b))
             dec["zstd"] = lambda b: bytes(cramjam.zstd.decompress(b))
             native["zstd"] = "cramjam"
         except ImportError:
@@ -171,23 +197,27 @@ _ENCODERS, _DECODERS, NATIVE_CODECS = _build_registry()
 CODECS = ("none", "zlib", "snappy", "lz4", "zstd")
 
 
-def block_compress(data: bytes, codec: str = "zlib", level: int = 6,
+def block_compress(data: bytes, codec: str = "zlib", level: int | None = None,
                    max_block: int | None = None) -> bytes:
     """Frame ``data`` into compressed blocks; keeps originals when smaller.
 
-    ``max_block`` caps the DECOMPRESSED block size below the format's
-    8 MiB header limit — pass the file's declared compressionBlockSize
-    when appending sections to a foreign file (readers may size their
-    buffers from that declaration). All four ORC codecs have REAL
-    encoders here (zlib via stdlib; snappy/lz4 from-spec in
-    kernels/lzblocks.py; zstd from-spec in kernels/zstd_enc.py — native
-    libraries preferred when importable); any block an encoder fails to
-    shrink falls back to the is-original escape, so output never grows
-    beyond 3 bytes per block."""
+    ``level`` is the codec's own compression level (zlib 1-9, zstd 1-22);
+    ``None`` picks the codec default (DEFAULT_LEVELS — zlib 6, zstd 3);
+    snappy/lz4 have no level knob and ignore it. ``max_block`` caps the
+    DECOMPRESSED block size below the format's 8 MiB header limit — pass
+    the file's declared compressionBlockSize when appending sections to a
+    foreign file (readers may size their buffers from that declaration).
+    All four ORC codecs have REAL encoders here (zlib via stdlib;
+    snappy/lz4 from-spec in kernels/lzblocks.py; zstd from-spec in
+    kernels/zstd_enc.py — native libraries preferred when importable);
+    any block an encoder fails to shrink falls back to the is-original
+    escape, so output never grows beyond 3 bytes per block."""
     if codec == "none":
         return data
     if codec not in _ENCODERS:
         raise ValueError(f"codec {codec!r} unavailable in this environment")
+    if level is None:
+        level = DEFAULT_LEVELS.get(codec, 0)
     cap = MAX_BLOCK if codec == "zlib" else LZ_BLOCK
     if max_block is not None:
         cap = min(cap, max_block)
@@ -195,7 +225,7 @@ def block_compress(data: bytes, codec: str = "zlib", level: int = 6,
     out: list = []
     for i in range(0, len(data), cap):
         block = data[i : i + cap]
-        comp = encode(block, level) if codec == "zlib" else encode(block)
+        comp = encode(block, level)
         if len(comp) < len(block):
             header = (len(comp) << 1) | 0
             out.append(header.to_bytes(3, "little"))

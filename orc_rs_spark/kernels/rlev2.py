@@ -742,3 +742,58 @@ def _decode_delta_group(frames: list, w: int, b: np.ndarray, out: np.ndarray) ->
         if take > 1:
             a = d_starts[i]
             out[g + 1 : g + take] = (base - frame_offs[i]) + csum[a : a + take - 1]
+
+def rlev2_run_modes(buf: bytes, count: int) -> dict[str, int]:
+    """Tally sub-mode usage across a stream's run headers (diagnostic).
+
+    Walks headers only, skipping payloads — the gate query for patched-base
+    (C11, ``todo!()`` in the reference, rlev2.rs:185-187) uses this to
+    CERTIFY the encoder actually routed frames to patched-base rather than
+    merely producing decodable bytes."""
+    mb = bytes(buf)
+    modes = {"short_repeat": 0, "direct": 0, "patched": 0, "delta": 0}
+
+    def _skip_varint(p: int) -> int:
+        while mb[p] & 0x80:
+            p += 1
+        return p + 1
+
+    pos, got, blen = 0, 0, len(mb)
+    while got < count:
+        if pos >= blen:
+            raise ValueError(f"RLEv2 stream truncated at {got}/{count} values")
+        h0 = mb[pos]
+        tag = h0 >> 6
+        if tag == 0:  # short repeat
+            w = ((h0 >> 3) & 0x7) + 1
+            n = (h0 & 0x7) + 3
+            pos += 1 + w
+            modes["short_repeat"] += 1
+        elif tag == 1:  # direct
+            w = decode_direct_width((h0 >> 1) & 0x1F)
+            n = (((h0 & 1) << 8) | mb[pos + 1]) + 1
+            pos += 2 + packed_size(n, w)
+            modes["direct"] += 1
+        elif tag == 2:  # patched base
+            w = decode_direct_width((h0 >> 1) & 0x1F)
+            n = (((h0 & 1) << 8) | mb[pos + 1]) + 1
+            h2, h3 = mb[pos + 2], mb[pos + 3]
+            bw = ((h2 >> 5) & 0x7) + 1
+            pw = decode_direct_width(h2 & 0x1F)
+            pgw = ((h3 >> 5) & 0x7) + 1
+            pll = h3 & 0x1F
+            pos += 4 + bw + packed_size(n, w)
+            if pll:
+                pos += packed_size(pll, closest_direct_width(pgw + pw))
+            modes["patched"] += 1
+        else:  # delta
+            w = decode_delta_width((h0 >> 1) & 0x1F)
+            n = (((h0 & 1) << 8) | mb[pos + 1]) + 1
+            pos = _skip_varint(pos + 2)  # base
+            if n >= 2:
+                pos = _skip_varint(pos)  # delta base
+                if n > 2 and w > 0:
+                    pos += packed_size(n - 2, w)
+            modes["delta"] += 1
+        got += n
+    return modes

@@ -371,6 +371,7 @@ def write_orc_dir(
     df: DataFrame, out_dir: str, compression: str = "zlib", stripe_rows: int = 65536,
     row_index_stride: int = 10000, bloom_columns: list[str] | None = None,
     user_metadata: dict[str, bytes] | None = None,
+    compression_level: int | None = None,
 ) -> int:
     """Distributed ORC sink: each task STREAMS its partition into one ORC
     file (the layout every distributed ORC writer uses — a directory of
@@ -422,7 +423,7 @@ def write_orc_dir(
                     tmp, b.schema,
                     compression=compression, stripe_rows=stripe_rows,
                     row_index_stride=row_index_stride, bloom_columns=bloom_columns,
-                    user_metadata=lineage,
+                    user_metadata=lineage, compression_level=compression_level,
                 )
             writer.write_batch(b)
         n = 0

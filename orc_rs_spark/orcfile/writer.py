@@ -321,9 +321,11 @@ class _StripeWriter:
                  forced_strings: dict[int, pa.Array | None] | None = None,
                  force_present: frozenset | set = frozenset(),
                  defer_bits: bool = False,
-                 emit_dict_streams: bool = True):
+                 emit_dict_streams: bool = True,
+                 codec_level: int | None = None):
         self.types = types
         self.codec = codec
+        self.codec_level = codec_level
         self.forced_strings = forced_strings
         self.force_present = force_present
         self.defer_bits = defer_bits
@@ -347,7 +349,8 @@ class _StripeWriter:
         # may size decode buffers from that declaration, so zlib must not
         # chunk at the 8 MiB header limit (round-5 ADVICE)
         data = (
-            block_compress(raw, self.codec, max_block=LZ_BLOCK)
+            block_compress(raw, self.codec, level=self.codec_level,
+                           max_block=LZ_BLOCK)
             if self.codec != "none" else raw
         )
         self.streams.append((col, kind_enum, data))
@@ -525,9 +528,13 @@ class OrcWriter:
     def __init__(self, path: str, schema: pa.Schema, compression: str = "zlib",
                  stripe_rows: int = 65536, row_index_stride: int = 10000,
                  bloom_columns: list[str] | None = None,
-                 user_metadata: dict[str, bytes] | None = None):
+                 user_metadata: dict[str, bytes] | None = None,
+                 compression_level: int | None = None):
         self.schema = schema
         self.compression = compression
+        # None = the codec's default (blockcomp.DEFAULT_LEVELS: zlib 6,
+        # zstd 3); snappy/lz4 have no level knob
+        self.compression_level = compression_level
         self.stripe_rows = stripe_rows
         self.types: list[dict] = []
         _flatten_types(schema, self.types)
@@ -640,7 +647,8 @@ class OrcWriter:
             sfooter += _field_bytes(2, body)
         sfooter += _field_bytes(3, b"UTC")
         sfooter_comp = (
-            block_compress(sfooter, self.compression, max_block=LZ_BLOCK)
+            block_compress(sfooter, self.compression,
+                           level=self.compression_level, max_block=LZ_BLOCK)
             if self.compression != "none" else sfooter
         )
         self._f.write(sfooter_comp)
@@ -657,7 +665,8 @@ class OrcWriter:
         self.num_rows += tbl.num_rows
 
     def _flush_stripe_plain(self, tbl: pa.Table) -> None:
-        sw = _StripeWriter(self.types, self.compression)
+        sw = _StripeWriter(self.types, self.compression,
+                           codec_level=self.compression_level)
         sw.stats[0] = (tbl.num_rows, False)
         for i, sub in enumerate(self.types[0]["subtypes"]):
             sw.write_column(sub, tbl.column(i))
@@ -777,7 +786,7 @@ class OrcWriter:
                 for g in range(len(chunks)):
                     lo, hi = seg_starts[g], seg_starts[g + 1]
                     raw = byte_rle_encode(bytestream[lo:hi]) if hi > lo else b""
-                    enc = block_compress(raw, self.compression, max_block=LZ_BLOCK) if comp else raw
+                    enc = block_compress(raw, self.compression, level=self.compression_level, max_block=LZ_BLOCK) if comp else raw
                     offs.append(off)
                     off += len(enc)
                     enc_parts.append(enc)
@@ -789,7 +798,7 @@ class OrcWriter:
             else:
                 enc_parts, offs, off = [], [], 0
                 for raw in chunks:
-                    enc = block_compress(raw, self.compression, max_block=LZ_BLOCK) if comp else raw
+                    enc = block_compress(raw, self.compression, level=self.compression_level, max_block=LZ_BLOCK) if comp else raw
                     offs.append(off)
                     off += len(enc)
                     enc_parts.append(enc)
@@ -803,7 +812,7 @@ class OrcWriter:
         for c, d in forced.items():
             if d is not None:
                 for knum, raw in _dictionary_streams(d):
-                    data = block_compress(raw, self.compression, max_block=LZ_BLOCK) if comp else raw
+                    data = block_compress(raw, self.compression, level=self.compression_level, max_block=LZ_BLOCK) if comp else raw
                     dict_streams.append((c, knum, data))
 
         # ---- ROW_INDEX streams: one per column, one entry per group
@@ -832,7 +841,8 @@ class OrcWriter:
                 entry = (_field_packed(1, slots) if slots else b"") + _field_bytes(2, stats)
                 entries += _field_bytes(1, entry)
             index_streams.append(
-                (col, block_compress(entries, self.compression, max_block=LZ_BLOCK)
+                (col, block_compress(entries, self.compression,
+                                level=self.compression_level, max_block=LZ_BLOCK)
                  if comp else entries)
             )
 
@@ -880,7 +890,8 @@ class OrcWriter:
                         bf.add_string_parts(buf, starts - begin, lengths)
                     body += _field_bytes(1, bf.to_proto_body())
                 bloom_streams[col] = (
-                    block_compress(body, self.compression, max_block=LZ_BLOCK)
+                    block_compress(body, self.compression,
+                                   level=self.compression_level, max_block=LZ_BLOCK)
                     if comp else body
                 )
 
@@ -950,7 +961,8 @@ class OrcWriter:
                 ss = b"".join(_field_bytes(1, body) for body in per_col)
                 metadata += _field_bytes(1, ss)
             metadata = (
-                block_compress(metadata, self.compression, max_block=LZ_BLOCK)
+                block_compress(metadata, self.compression,
+                               level=self.compression_level, max_block=LZ_BLOCK)
                 if self.compression != "none" else metadata
             )
             self._f.write(metadata)
@@ -982,7 +994,8 @@ class OrcWriter:
         footer += _field_varint(8, self.row_index_stride)
         footer += _field_varint(9, 1)  # writer: ORC C++ code slot (non-Java)
         footer_comp = (
-            block_compress(footer, self.compression, max_block=LZ_BLOCK)
+            block_compress(footer, self.compression,
+                           level=self.compression_level, max_block=LZ_BLOCK)
             if self.compression != "none" else footer
         )
         self._f.write(footer_comp)
@@ -1005,12 +1018,13 @@ class OrcWriter:
 def write_orc(table: pa.Table | pa.RecordBatch, path: str, compression: str = "zlib",
               stripe_rows: int = 65536, row_index_stride: int = 10000,
               bloom_columns: list[str] | None = None,
-              user_metadata: dict[str, bytes] | None = None) -> None:
+              user_metadata: dict[str, bytes] | None = None,
+              compression_level: int | None = None) -> None:
     """Write an Arrow table as one ORC file (row-group indexed by default)."""
     if isinstance(table, pa.RecordBatch):
         table = pa.Table.from_batches([table])
     w = OrcWriter(path, table.schema, compression=compression, stripe_rows=stripe_rows,
                   row_index_stride=row_index_stride, bloom_columns=bloom_columns,
-                  user_metadata=user_metadata)
+                  user_metadata=user_metadata, compression_level=compression_level)
     w.write_table(table)
     w.close()

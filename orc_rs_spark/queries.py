@@ -1268,6 +1268,125 @@ def q_orc_wire_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_wire_zstd",
+    "SELECT l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate "
+    "FROM lineitem",
+)
+def q_orc_wire_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC wire round-trip under REAL zstd compression — the one codec
+    whose write path had no oracle-gated entry through round 5 (and whose
+    official bench number was anomalous). Every stream block goes through
+    the registry's zstd encoder (pyarrow's bundled libzstd when present,
+    the from-spec RFC 8878 encoder in kernels/zstd_enc.py otherwise —
+    the reference decodes zstd but never encodes, src/compression.rs:163)
+    and the stripe-parallel reader decodes it back via the
+    Frame_Content_Size-exact native path; the hash match against the SQL
+    oracle certifies the full compressed round trip in the driver-visible
+    artifact."""
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    df = _pq(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    out_dir = _scratch_dir("orc_wire_zstd")
+    write_orc_dir(df.repartition(8), out_dir, compression="zstd")
+    return read_orc(spark, out_dir)
+
+
+@register(
+    "rt_rlev2_patched",
+    "SELECT CAST(l_partkey % 500 + CASE WHEN l_orderkey % 97 = 0 "
+    "THEN 1000000000000 ELSE 0 END AS BIGINT) AS spiked FROM lineitem",
+)
+def q_rt_rlev2_patched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated patched-base gate (C11 — ``todo!()`` in the reference,
+    src/encoding/rlev2.rs:185-187; built here from the ORC spec alone).
+    The fixture spikes ~1% of an otherwise 9-bit column to 10^12, the
+    exact outlier shape patched-base exists for; the query not only
+    round-trips the bytes but CERTIFIES routing: rlev2_run_modes walks
+    the emitted run headers and the query asserts at least one
+    patched-base frame per full batch, so a regression that silently
+    falls back to direct fails the gate, not just a size check."""
+    from orc_rs_spark.kernels.rlev2 import (
+        rlev2_decode,
+        rlev2_encode,
+        rlev2_run_modes,
+    )
+
+    df = _pq(spark, sf_dir, "lineitem").select(
+        (
+            F.col("l_partkey") % 500
+            + F.when(F.col("l_orderkey") % 97 == 0, F.lit(10**12)).otherwise(F.lit(0))
+        ).cast("long").alias("spiked")
+    )
+
+    def rt(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            v = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            enc = rlev2_encode(v, signed=True)
+            if len(v) >= 2048:  # full batches must show patched routing
+                modes = rlev2_run_modes(enc, len(v))
+                assert modes["patched"] > 0, f"no patched-base frames: {modes}"
+            dec = rlev2_decode(enc, len(v), signed=True)
+            yield pa.RecordBatch.from_arrays([pa.array(dec)], names=["spiked"])
+
+    return df.mapInArrow(rt, "spiked bigint")
+
+
+@register(
+    "stream_orc_roundtrip",
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+)
+def q_stream_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ORC surface, oracle-gated end to end: the
+    orders table streams through ``writeStream.format("orc_rs")`` in >= 4
+    micro-batches (maxFilesPerTrigger=1 over a 4-file parquet source),
+    then ``readStream.format("orc_rs")`` tails the resulting directory
+    into a memory sink — covering the sink's batch-id-keyed exactly-once
+    commit and the source's O(1) name-watermark offsets
+    (orcfile/datasource.py). A hash match against plain SQL over the same
+    rows proves no row is lost, duplicated, or corrupted across the
+    streaming write+read round trip."""
+    import glob as _glob
+    import os as _os
+
+    from orc_rs_spark.orcfile.datasource import OrcRsDataSource
+
+    spark.dataSource.register(OrcRsDataSource)
+    df = _pq(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    base = _scratch_dir("stream_orc_roundtrip")
+    src = f"{base}/src"
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    out, cp1, cp2 = f"{base}/out", f"{base}/cp1", f"{base}/cp2"
+    q1 = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.format("orc_rs")
+        .option("path", out).option("checkpointLocation", cp1)
+        .trigger(availableNow=True).start()
+    )
+    assert q1.awaitTermination(300), "streaming ORC sink did not finish"
+    batch_ids = {
+        _os.path.basename(f).split("-")[2]
+        for f in _glob.glob(f"{out}/part-*.orc")
+    }
+    assert len(batch_ids) >= 4, f"expected >=4 micro-batches, saw {batch_ids}"
+    sink = f"stream_orc_rt_{_os.getpid()}"
+    q2 = (
+        spark.readStream.format("orc_rs").load(out)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", cp2)
+        .trigger(availableNow=True).start()
+    )
+    assert q2.awaitTermination(300), "streaming ORC source did not finish"
+    return spark.table(sink)
+
+
+@register(
     "orc_stats_agg",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1428,6 +1547,16 @@ def q_token_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All 56 still run in pytest (tests/test_driver_contract.py parametrizes
 # over every entry), so nothing loses CI evidence — only gate slots.
 _GATE_TAIL = [
+    "rt_bitpack",  # round 6: bit-packing is the payload of the gated
+    # rt_rlev2_direct (direct mode IS bitpacked ints) and of
+    # rt_rlev2_patched's data words; all 64 widths stay pytest-pinned
+    # against the naive packer
+    "langid",  # round 6: one of four gated pure-JVM textstats queries;
+    # text_stats/token_counts/quality_score keep the family gated and
+    # langid's n-gram expression surface is the same JVM tier
+    "ann_topk_ivf",  # round 6: ann_topk_ivf_indexed gates the SAME
+    # k-means/probe/rerank mechanics PLUS the persisted partition-pruned
+    # layout; the in-memory twin adds no distinct evidence
     "doc_fingerprints",  # one of five pure-JVM textstats-family gates;
     # text_stats/token_counts/quality_score/langid keep the family gated
     "dedup_ngram_jaccard",  # verifier-tier exact join; the gated
