@@ -124,8 +124,19 @@ def _build_registry():
             native["snappy"] = "pyarrow"
         if _pa.Codec.is_available("lz4_raw"):
             _lz4_c = _pa.Codec("lz4_raw")
+
+            def _pa_lz4_dec(b: bytes) -> bytes:
+                # Arrow lz4_raw demands the EXACT output size, which LZ4
+                # block framing doesn't carry — a header-only Python scan
+                # (skip literals, sum lengths) recovers it, then libarrow
+                # moves every byte at C speed. Closes the last
+                # Python-bound read path flagged in round 5.
+                size = lzblocks.lz4_block_size(b)
+                return bytes(_lz4_c.decompress(b, decompressed_size=size))
+
             enc["lz4"] = lambda b, lv: bytes(_lz4_c.compress(b))
-            native["lz4"] = "pyarrow (encode; decode from-spec)"
+            dec["lz4"] = _pa_lz4_dec
+            native["lz4"] = "pyarrow (decode via size-scan)"
         if _pa.Codec.is_available("zstd"):
             _zstd_c = _pa.Codec("zstd")
             _zstd_by_level: dict[int, object] = {}
@@ -147,6 +158,47 @@ def _build_registry():
             dec["zstd"] = _pa_zstd_dec
             native["zstd"] = "pyarrow"
     except ImportError:
+        pass
+
+    try:
+        # system liblz4 via ctypes: LZ4_decompress_safe returns the ACTUAL
+        # decompressed size, so unlike Arrow's lz4_raw it needs no
+        # exact-size preamble — this drops the Python header scan entirely
+        # (272 MB/s vs 55 MB/s size-scan+Arrow vs 10 MB/s from-spec on the
+        # token/text mix; SCALE.md round-6 entry). Output capacity is the
+        # format's 8 MiB block ceiling (MAX_BLOCK); the buffer is
+        # thread-local because Spark's local mode can decode from many
+        # driver threads at once.
+        import ctypes as _ct
+        import ctypes.util as _ctu
+        import threading as _threading
+
+        _lz4_path = _ctu.find_library("lz4")
+        if _lz4_path is None:
+            raise ImportError("no system liblz4")
+        _lz4_lib = _ct.CDLL(_lz4_path)
+        _lz4_lib.LZ4_decompress_safe.restype = _ct.c_int
+        _lz4_lib.LZ4_decompress_safe.argtypes = [
+            _ct.c_char_p, _ct.c_char_p, _ct.c_int, _ct.c_int]
+        _lz4_tls = _threading.local()
+
+        def _ct_lz4_dec(b: bytes) -> bytes:
+            buf = getattr(_lz4_tls, "buf", None)
+            if buf is None:
+                buf = _lz4_tls.buf = _ct.create_string_buffer(MAX_BLOCK)
+            n = _lz4_lib.LZ4_decompress_safe(b, buf, len(b), MAX_BLOCK)
+            if n < 0:
+                raise ValueError("lz4: corrupt block (liblz4 rc %d)" % n)
+            return _ct.string_at(buf, n)
+
+        # self-check before trusting the symbol: round-trip one block
+        _probe = lzblocks.lz4_block_compress(b"liblz4 probe " * 30)
+        if _ct_lz4_dec(_probe) != b"liblz4 probe " * 30:
+            raise ImportError("liblz4 probe mismatch")
+        dec["lz4"] = _ct_lz4_dec
+        native["lz4"] = ("liblz4 (decode); " + native["lz4"]
+                         if "lz4" in native else "liblz4 (decode)")
+    except (ImportError, OSError, AttributeError):
         pass
 
     try:  # python-snappy (C bindings)

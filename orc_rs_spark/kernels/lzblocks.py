@@ -94,7 +94,28 @@ def snappy_decompress(data: bytes) -> bytes:
 
 
 def lz4_block_decompress(data: bytes, max_size: int | None = None) -> bytes:
-    """Decompress one LZ4 block (block format, no frame header)."""
+    """Decompress one LZ4 block (block format, no frame header).
+
+    Vectorized (round-6): a header-only Python parse collects per-sequence
+    (literal start/len, match offset/len) arrays without copying a byte,
+    then NumPy does all the byte movement — literals land via one fancy-
+    indexed gather, and match bytes resolve through POINTER DOUBLING on a
+    reference array (ref[i] = i - offset for match bytes, i for literals;
+    log2(longest copy chain) full-array gathers instead of a Python loop
+    per sequence). This is the batch-header-walk pattern rlev2.py uses,
+    applied to LZ4 tokens: the native Arrow path cannot cover lz4 decode
+    because ``lz4_raw`` needs the exact decompressed size and ORC block
+    framing only carries the compressed length (reference framing doc,
+    /root/reference/src/compression.rs:214-239). Tiny blocks keep the
+    scalar path (array setup would dominate)."""
+    if len(data) >= 512:
+        return _lz4_block_decompress_np(data, max_size)
+    return _lz4_block_decompress_scalar(data, max_size)
+
+
+def _lz4_block_decompress_scalar(data: bytes, max_size: int | None = None) -> bytes:
+    """Reference scalar decoder (also the fuzz cross-check for the
+    vectorized path)."""
     buf = memoryview(data)
     out = bytearray()
     pos = 0
@@ -143,6 +164,151 @@ def lz4_block_decompress(data: bytes, max_size: int | None = None) -> bytes:
         if max_size is not None and len(out) > max_size:
             raise ValueError("lz4: output exceeds declared size")
     return bytes(out)
+
+
+def lz4_block_size(data: bytes) -> int:
+    """Exact decompressed size of one LZ4 block from a header-only walk.
+
+    LZ4 block framing does not carry the output size and ORC's 3-byte
+    block headers only carry the COMPRESSED length — this scan (skip
+    literals, sum lengths, never copy a byte) recovers the exact size so
+    a native one-shot decoder (Arrow's ``lz4_raw``, which requires it)
+    can do all the byte movement at C speed. ~3x cheaper than a full
+    Python decode; the blockcomp registry pairs it with pyarrow for the
+    production lz4 read path."""
+    mb = bytes(data)
+    n = len(mb)
+    pos = 0
+    out_len = 0
+    while pos < n:
+        token = mb[pos]
+        pos += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("lz4: truncated literal length")
+                b = mb[pos]
+                pos += 1
+                lit_len += b
+                if b != 255:
+                    break
+        pos += lit_len
+        if pos > n:
+            raise ValueError("lz4: truncated literals")
+        out_len += lit_len
+        if pos >= n:
+            break
+        pos += 2  # match offset (validated by the real decoder)
+        if pos > n:
+            raise ValueError("lz4: truncated offset")
+        match_len = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("lz4: truncated match length")
+                b = mb[pos]
+                pos += 1
+                match_len += b
+                if b != 255:
+                    break
+        out_len += match_len
+    return out_len
+
+
+def _lz4_block_decompress_np(data: bytes, max_size: int | None = None) -> bytes:
+    """NumPy LZ4 block decode: copy-free header parse, then bulk gathers."""
+    import numpy as np
+
+    mb = bytes(data)
+    n = len(mb)
+    pos = 0
+    out_len = 0
+    # per-sequence parse results (the ONLY per-sequence Python work)
+    ls: list[int] = []  # literal start in src
+    ll: list[int] = []  # literal length
+    mo: list[int] = []  # match offset (0 on the final literals-only seq)
+    ml: list[int] = []  # match length (0 on the final literals-only seq)
+    while pos < n:
+        token = mb[pos]
+        pos += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("lz4: truncated literal length")
+                b = mb[pos]
+                pos += 1
+                lit_len += b
+                if b != 255:
+                    break
+        if pos + lit_len > n:
+            raise ValueError("lz4: truncated literals")
+        ls.append(pos)
+        ll.append(lit_len)
+        pos += lit_len
+        out_len += lit_len
+        if pos >= n:  # last sequence: literals only, no match
+            mo.append(0)
+            ml.append(0)
+            break
+        if pos + 2 > n:
+            raise ValueError("lz4: truncated offset")
+        offset = mb[pos] | (mb[pos + 1] << 8)
+        pos += 2
+        if offset == 0 or offset > out_len:
+            raise ValueError("lz4: invalid offset")
+        match_len = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("lz4: truncated match length")
+                b = mb[pos]
+                pos += 1
+                match_len += b
+                if b != 255:
+                    break
+        mo.append(offset)
+        ml.append(match_len)
+        out_len += match_len
+        if max_size is not None and out_len > max_size:
+            raise ValueError("lz4: output exceeds declared size")
+    if out_len == 0:
+        return b""
+
+    lla = np.asarray(ll, dtype=np.int64)
+    lsa = np.asarray(ls, dtype=np.int64)
+    mla = np.asarray(ml, dtype=np.int64)
+    moa = np.asarray(mo, dtype=np.int64)
+    seq_end = np.cumsum(lla + mla)
+    lit_dst = seq_end - (lla + mla)  # where each seq's literals start
+    match_dst = lit_dst + lla  # where each seq's match bytes start
+
+    src = np.frombuffer(mb, dtype=np.uint8)
+    # literals: ranges -> flat indices, one gather-scatter pair
+    tl = int(lla.sum())
+    wl = np.arange(tl, dtype=np.int64) - np.repeat(np.cumsum(lla) - lla, lla)
+    lit_src_idx = np.repeat(lsa, lla) + wl
+    lit_dst_idx = np.repeat(lit_dst, lla) + wl
+    # matches: every match byte references out position (self - offset);
+    # literals are fixpoints. Pointer doubling collapses arbitrary copy
+    # chains (including overlap/RLE chains) in log2(chain length) gathers.
+    tm = int(mla.sum())
+    wm = np.arange(tm, dtype=np.int64) - np.repeat(np.cumsum(mla) - mla, mla)
+    mpos = np.repeat(match_dst, mla) + wm
+    ref = np.arange(out_len, dtype=np.int64)
+    ref[mpos] = mpos - np.repeat(moa, mla)
+    r = ref
+    while True:
+        r2 = r.take(r)
+        if np.array_equal(r2, r):
+            break
+        r = r2
+    # every out position now maps to the literal position that feeds it;
+    # litmap turns that into the source byte index
+    litmap = np.empty(out_len, dtype=np.int64)
+    litmap[lit_dst_idx] = lit_src_idx
+    return src.take(litmap.take(r)).tobytes()
 
 
 def _snappy_varint(n: int) -> bytes:

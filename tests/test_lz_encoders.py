@@ -229,7 +229,7 @@ def test_native_registry_escape_hatch(monkeypatch):
     enc, dec, native = blockcomp._build_registry()
     assert native.get("snappy") == "python-snappy"
     blob = TEXT[:1000]
-    assert dec["snappy"](enc["snappy"](blob)) == blob
+    assert dec["snappy"](enc["snappy"](blob, 0)) == blob
     assert calls == {"c": True, "d": True}
     # current process has no python-snappy, so the import-time registry
     # took the pyarrow tier instead
@@ -297,3 +297,93 @@ def test_zstd_full_chooser_roundtrip_property(blob):
     from orc_rs_spark.kernels.zstd_enc import zstd_compress as zc
 
     assert zstd_decompress(zc(blob)) == blob
+
+
+# ---------------------------------------------------------------------------
+# round 6: vectorized lz4 decode (_lz4_block_decompress_np) + size scan
+
+
+def _adversarial_lz4_blobs():
+    """Inputs that stress every vectorized-decoder regime: long offset-1
+    RLE chains (deepest pointer-doubling), overlapping short-offset copies,
+    15-extension literal/match lengths, literal-only tails, and mixed
+    structured text."""
+    rng = np.random.default_rng(0xC0DEC)
+    return [
+        b"a" * 100_000,                            # offset-1 chain, len ~1e5
+        b"ab" * 50_000,                            # offset-2 overlap chain
+        (b"x" * 300 + b"y") * 400,                 # long runs + breakers
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),  # incompressible
+        (b"the quick brown fox " * 997)[:17_000],  # text, non-aligned cut
+        b"".join(bytes([i % 7]) * (i % 31 + 1) for i in range(2000)),
+        TEXT,                                      # the shared corpus
+        b"Z" * 14 + bytes(rng.integers(0, 4, 3000, dtype=np.uint8)) + b"Z" * 14,
+    ]
+
+
+@pytest.mark.parametrize("i", range(8))
+def test_lz4_vectorized_matches_scalar(i):
+    """The NumPy decoder is byte-identical to the from-spec scalar decoder
+    (which the round-trip and golden-file suites pin to the format)."""
+    from orc_rs_spark.kernels.lzblocks import (
+        _lz4_block_decompress_np,
+        _lz4_block_decompress_scalar,
+    )
+
+    blob = _adversarial_lz4_blobs()[i]
+    c = lz4_block_compress(blob)
+    assert _lz4_block_decompress_np(c) == _lz4_block_decompress_scalar(c) == blob
+
+
+@pytest.mark.parametrize("i", range(8))
+def test_lz4_size_scan_exact(i):
+    """lz4_block_size returns the exact decompressed size from a
+    header-only walk — the contract the pyarrow lz4_raw decode tier
+    depends on (Arrow needs the exact output size up front)."""
+    from orc_rs_spark.kernels.lzblocks import lz4_block_size
+
+    blob = _adversarial_lz4_blobs()[i]
+    assert lz4_block_size(lz4_block_compress(blob)) == len(blob)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.binary(min_size=1, max_size=9),
+                          st.integers(1, 120)), max_size=30))
+def test_lz4_vectorized_property(parts):
+    """Fuzz: scalar and vectorized decoders agree on runny inputs (padded
+    past the 512-byte dispatch threshold so the NumPy path actually runs),
+    and the size scan matches."""
+    from orc_rs_spark.kernels.lzblocks import (
+        _lz4_block_decompress_np,
+        lz4_block_size,
+    )
+
+    blob = (b"".join(p * k for p, k in parts) + b"pad") * 4
+    c = lz4_block_compress(blob)
+    assert _lz4_block_decompress_np(c) == blob
+    assert lz4_block_size(c) == len(blob)
+    assert lz4_block_decompress(c) == blob  # public dispatcher
+
+
+def test_lz4_vectorized_on_foreign_stream():
+    """Blocks produced by Arrow's real C lz4 encoder (denser token mix
+    than our single-probe matcher emits) decode correctly through both
+    the NumPy path and the size scan."""
+    pa = pytest.importorskip("pyarrow")
+    from orc_rs_spark.kernels.lzblocks import (
+        _lz4_block_decompress_np,
+        lz4_block_size,
+    )
+
+    blob = TEXT * 3
+    c = bytes(pa.Codec("lz4_raw").compress(blob))
+    assert lz4_block_size(c) == len(blob)
+    assert _lz4_block_decompress_np(c) == blob
+
+
+def test_lz4_registry_decode_is_native():
+    """The registry's lz4 decode now routes through pyarrow (size-scan +
+    C decompress) — the round-5 verdict's last Python-bound read path."""
+    assert "decode" in NATIVE_CODECS.get("lz4", "")
+    blob = TEXT * 2
+    assert block_decompress(block_compress(blob, "lz4"), "lz4") == blob
