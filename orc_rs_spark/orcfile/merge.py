@@ -312,7 +312,8 @@ def plan_compaction(sizes: list[tuple[str, int]], target_bytes: int) -> list[lis
 
 def compact_orc_dir(spark, in_dir: str, out_dir: str,
                     target_bytes: int = 256 << 20,
-                    group_by_schema: bool = False) -> int:
+                    group_by_schema: bool = False,
+                    name_prefix: str = "part-") -> int:
     """Distributed small-files compaction: bin part files to
     ~target_bytes and merge each bin in its own task (raw stripe copy —
     no decode, so a task's cost is pure I/O). The driver touches only
@@ -328,7 +329,21 @@ def compact_orc_dir(spark, in_dir: str, out_dir: str,
     read per file, the one case where planning must look past the
     listing — and each generation compacts into its own single-schema
     output files, which ``read_orc_evolve`` / the format's evolve mode
-    then read as one table."""
+    then read as one table.
+
+    ``name_prefix`` controls the output file names
+    (``{name_prefix}{gid:05d}.orc``). This matters when the directory is
+    TAILED by a ``readStream.format("orc_rs")`` query, whose offset is a
+    name watermark: compacted replacements of already-streamed files must
+    sort BELOW the stream's watermark so a checkpoint-restart neither
+    re-reads them (duplicates) nor flags them as late arrivals — pass a
+    prefix like ``"compact-"`` (ASCII-below the sinks' ``"part-"`` names)
+    and swap files only while the stream is stopped. Compacting INTO a
+    LIVE-tailed directory is refused by the stream source itself: the new
+    names appear below its already-planned watermark and trip the
+    out-of-order-producer check (datasource.py) loudly. Cookbook:
+    README "Compaction under a tailing stream"; contract test:
+    tests/test_datasource.py::test_compact_then_restart_stream."""
     import glob as _glob
     import json
     from collections.abc import Iterator
@@ -376,7 +391,7 @@ def compact_orc_dir(spark, in_dir: str, out_dir: str,
             for gid, paths_json in zip(
                 b.column("gid").to_pylist(), b.column("paths").to_pylist()
             ):
-                final = os.path.join(out_dir, f"part-{gid:05d}.orc")
+                final = os.path.join(out_dir, f"{name_prefix}{gid:05d}.orc")
                 tmp = f"{final}.{attempt}.tmp"
                 try:
                     n = merge_orc_files(json.loads(paths_json), tmp)

@@ -392,3 +392,99 @@ def test_datasource_compression_codecs(registered, tmp_path, codec):
     assert got[0] == want[0] and abs(got[1] - want[1]) < 1e-6
     jvm = spark.read.orc(out)
     assert jvm.count() == 5000 and jvm.selectExpr("sum(id)").first()[0] == want[0]
+
+
+def test_compact_live_tailed_dir_trips_detector(tmp_path):
+    """Round-6 contract: compacting INTO a directory a stream is LIVE
+    against is refused by the source — the compacted outputs sort below
+    the already-planned name watermark, which is exactly the
+    out-of-order-producer shape (their rows would otherwise be silently
+    re-lost or re-read). Driven at the source-class level like
+    test_stream_source_detects_out_of_order_producer."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from orc_rs_spark.orcfile.datasource import OrcRsStreamReader
+    from orc_rs_spark.orcfile.writer import write_orc
+
+    d = str(tmp_path / "live_tail")
+    os.makedirs(d)
+    t = pa.table({"id": pa.array(list(range(10)), pa.int64())})
+    # sink-style time-ordered names
+    write_orc(t, os.path.join(d, "part-1aa0-00000.orc"))
+    write_orc(t, os.path.join(d, "part-1aa1-00000.orc"))
+    reader = OrcRsStreamReader(
+        {"path": d}, StructType([StructField("id", LongType())]))
+    off = reader.latestOffset()
+    assert reader.partitions({"last": ""}, off)  # plan (sets the watermark)
+    # "compaction" lands a merged file whose name sorts below the watermark
+    write_orc(pa.concat_tables([t, t]), os.path.join(d, "compact-00000.orc"))
+    with pytest.raises(RuntimeError, match="already-planned watermark"):
+        reader.latestOffset()
+
+
+def test_compact_then_restart_stream(registered, tmp_path):
+    """Round-6 cookbook contract (README "Compaction under a tailing
+    stream"): stop the stream -> compact in place with a BELOW-watermark
+    name prefix -> append new data -> restart from the SAME checkpoint.
+    The compacted replacements are never re-read (their rows were already
+    processed under their original names), the new files are, and a
+    from-scratch tail of the final directory still sees every row once."""
+    import shutil
+
+    from orc_rs_spark.orcfile.merge import compact_orc_dir
+
+    spark = registered
+    src = str(tmp_path / "c_src")
+    down = str(tmp_path / "c_down")
+    cp = str(tmp_path / "c_cp")
+
+    # gen 1: three small sink-named files via the batch writer
+    for lo, hi in ((0, 400), (400, 700), (700, 1000)):
+        spark.range(lo, hi).toDF("k").coalesce(1) \
+            .write.format("orc_rs").mode("append").save(src)
+    assert len(glob.glob(f"{src}/part-*.orc")) == 3
+
+    def run_stream():
+        q = (spark.readStream.format("orc_rs").load(src)
+             .writeStream.format("orc_rs").option("path", down)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    run_stream()  # processes gen 1
+    got = spark.read.format("orc_rs").load(down)
+    assert got.count() == 1000
+
+    # stream stopped: compact gen 1 in place. Output names ("compact-")
+    # sort BELOW the watermark ("part-{hextime}-..."), so the restarted
+    # checkpoint neither re-reads nor flags them.
+    staging = str(tmp_path / "c_staging")
+    n = compact_orc_dir(spark, src, staging, target_bytes=1 << 40,
+                        name_prefix="compact-")
+    assert n == 1000
+    for f in glob.glob(f"{src}/part-*.orc"):
+        os.remove(f)
+    for f in glob.glob(f"{staging}/compact-*.orc"):
+        shutil.move(f, os.path.join(src, os.path.basename(f)))
+    assert len(glob.glob(f"{src}/*.orc")) == 1
+
+    # gen 2 arrives above the watermark; restart from the same checkpoint
+    spark.range(1000, 1600).toDF("k").coalesce(1) \
+        .write.format("orc_rs").mode("append").save(src)
+    run_stream()
+
+    got = spark.read.format("orc_rs").load(down).toDF("k")
+    r = got.selectExpr("COUNT(*) AS n", "SUM(k) AS s",
+                       "COUNT(DISTINCT k) AS d").collect()[0]
+    # exactly-once: 1600 distinct rows, no duplicate from the compacted gen
+    assert (r["n"], r["s"], r["d"]) == (1600, sum(range(1600)), 1600)
+
+    # and the compacted directory remains a valid tail-from-scratch source
+    cp2 = str(tmp_path / "c_cp2")
+    q2 = (spark.readStream.format("orc_rs").load(src)
+          .writeStream.format("memory").queryName("compact_restart_sink")
+          .option("checkpointLocation", cp2).trigger(availableNow=True).start())
+    assert q2.awaitTermination(180)
+    r2 = spark.sql("SELECT COUNT(*) n, SUM(k) s FROM compact_restart_sink").collect()[0]
+    assert (r2["n"], r2["s"]) == (1600, sum(range(1600)))
