@@ -188,7 +188,19 @@ def _build_registry():
                 buf = _lz4_tls.buf = _ct.create_string_buffer(MAX_BLOCK)
             n = _lz4_lib.LZ4_decompress_safe(b, buf, len(b), MAX_BLOCK)
             if n < 0:
-                raise ValueError("lz4: corrupt block (liblz4 rc %d)" % n)
+                # rc<0 is EITHER corruption OR output > the 8 MiB working
+                # buffer (a foreign writer may declare a bigger
+                # compressionBlockSize — the 23-bit header cap bounds the
+                # COMPRESSED chunk only). Disambiguate with the exact
+                # header-only size scan before declaring corruption.
+                size = lzblocks.lz4_block_size(b)  # raises if truncated
+                if size <= MAX_BLOCK:
+                    raise ValueError("lz4: corrupt block (liblz4 rc %d)" % n)
+                big = _ct.create_string_buffer(size)
+                n = _lz4_lib.LZ4_decompress_safe(b, big, len(b), size)
+                if n < 0:
+                    raise ValueError("lz4: corrupt block (liblz4 rc %d)" % n)
+                return _ct.string_at(big, n)
             return _ct.string_at(buf, n)
 
         # self-check before trusting the symbol: round-trip one block

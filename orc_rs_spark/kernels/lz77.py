@@ -102,16 +102,43 @@ def greedy_matches(data: bytes | np.ndarray,
     if cand.size == 0:
         return empty
 
-    # vectorized length extension, 16 bytes per round over the active set
     limit = n - match_end_margin
+    offs = cand - p
+
+    # --- chain collapse (round 6): candidates at CONSECUTIVE positions
+    # with the SAME offset lie in one periodic region, where equality
+    # runs are arithmetically linked — if the chain HEAD's equality run
+    # is e, the member at distance d runs exactly e - d (both stop at
+    # the same first violating byte, and membership implies d <= e - 4
+    # via the validated 4-byte probe). So only heads are extended and
+    # follower lengths are propagated. Without this, run-heavy input
+    # (PRESENT-stream shapes, constant/periodic columns) makes EVERY
+    # position a candidate that extends to cap: O(candidates * cap)
+    # work — 67 s/MiB on b"A"*n in the round-5 encoder. With it, the
+    # same input has one head per run and the cost is O(n).
+    is_follow = np.zeros(cand.size, dtype=bool)
+    if cand.size > 1:
+        is_follow[1:] = (cand[1:] == cand[:-1] + 1) & (offs[1:] == offs[:-1])
+    heads = np.nonzero(~is_follow)[0]  # indices into cand
+    hid = np.cumsum(~is_follow) - 1  # chain id per candidate
+    chain_last = np.append(heads[1:], cand.size) - 1
+    hpos, hp = cand[heads], p[heads]
+    # extend each head far enough to serve its LAST follower's max_match
+    # window; past that every follower caps at max_match anyway
+    hcap = np.minimum(limit - hpos, (cand[chain_last] - hpos) + max_match)
+
+    # vectorized length extension, 16 bytes per round over the active
+    # heads; round count is bounded by the max_match window, with a
+    # scalar chunk-doubling finisher for the rare very-long-run heads
     pad = np.full(16, -1, np.int16)
     a16 = np.concatenate([arr8.astype(np.int16), pad])
-    cap = np.minimum(np.int64(max_match), limit - cand)
-    lens = np.full(cand.size, min_match, np.int64)
-    active = np.nonzero(lens < cap)[0]
+    hlens = np.full(heads.size, min_match, np.int64)
+    active = np.nonzero(hlens < hcap)[0]
     k = np.arange(16, dtype=np.int64)
-    while active.size:
-        ci, pi, li = cand[active], p[active], lens[active]
+    rounds, max_rounds = 0, (max_match >> 4) + 2
+    while active.size and rounds < max_rounds:
+        rounds += 1
+        ci, pi, li = hpos[active], hp[active], hlens[active]
         # source-side reads past n hit the -1 pad => compare False there,
         # so matches can never extend beyond the buffer
         left = a16[np.minimum(ci[:, None] + li[:, None] + k, n + 15)]
@@ -119,14 +146,31 @@ def greedy_matches(data: bytes | np.ndarray,
         eq = left == right
         full = eq.all(axis=1)
         adv = np.where(full, 16, eq.argmin(axis=1)).astype(np.int64)
-        new_len = np.minimum(li + adv, cap[active])
-        lens[active] = new_len
-        active = active[full & (new_len < cap[active])]
+        new_len = np.minimum(li + adv, hcap[active])
+        hlens[active] = new_len
+        active = active[full & (new_len < hcap[active])]
+    for ai in active.tolist():  # long-chain heads: memcmp-speed doubling
+        i, o = int(hpos[ai]), int(hpos[ai] - hp[ai])
+        L, C = int(hlens[ai]), int(hcap[ai])
+        step = 64
+        while L < C:
+            w = min(step, C - L)
+            eqw = arr8[i + L : i + L + w] == arr8[i - o + L : i - o + L + w]
+            if eqw.all():
+                L += w
+                step <<= 1
+            else:
+                L += int(np.argmin(eqw))
+                break
+        hlens[ai] = L
+
+    # propagate: member at distance d from its head runs e_head - d
+    e_all = hlens[hid] - (cand - hpos[hid])
+    lens = np.minimum(np.minimum(np.int64(max_match), limit - cand), e_all)
     keep = lens >= min_match
-    cand, p, lens = cand[keep], p[keep], lens[keep]
+    cand, offs, lens = cand[keep], offs[keep], lens[keep]
     if cand.size == 0:
         return empty
-    offs = cand - p
 
     # greedy token walk: cursor over the ascending match positions; covered
     # candidates are skipped with a bisect jump (C-speed), so the Python
