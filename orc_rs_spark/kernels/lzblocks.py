@@ -297,7 +297,20 @@ def _lz4_block_decompress_np(data: bytes, max_size: int | None = None) -> bytes:
     wm = np.arange(tm, dtype=np.int64) - np.repeat(np.cumsum(mla) - mla, mla)
     mpos = np.repeat(match_dst, mla) + wm
     ref = np.arange(out_len, dtype=np.int64)
-    ref[mpos] = mpos - np.repeat(moa, mla)
+    rep_o = np.repeat(moa, mla)
+    msrc = mpos - rep_o
+    # overlap collapse: when offset < match_len the match copies its own
+    # output (period = offset). Instead of a per-byte chain back through
+    # the match (offset-1 RLE of a full 8 MiB block = a chain the length
+    # of the block, ~23 doubling rounds), jump every overlapped byte
+    # straight to the periodic pre-image BELOW the match start in one
+    # arithmetic step: src = match_start - offset + (pos_in_match % offset).
+    # Chain depth is then bounded by the SEQUENCE count, not byte count.
+    ov = wm >= rep_o
+    if ov.any():
+        rep_md = np.repeat(match_dst, mla)
+        msrc[ov] = rep_md[ov] - rep_o[ov] + wm[ov] % rep_o[ov]
+    ref[mpos] = msrc
     r = ref
     while True:
         r2 = r.take(r)

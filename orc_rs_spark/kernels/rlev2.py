@@ -752,16 +752,26 @@ def rlev2_run_modes(buf: bytes, count: int) -> dict[str, int]:
     merely producing decodable bytes."""
     mb = bytes(buf)
     modes = {"short_repeat": 0, "direct": 0, "patched": 0, "delta": 0}
+    pos, got, blen = 0, 0, len(mb)
+
+    def _trunc(got_now: int):
+        return ValueError(f"RLEv2 stream truncated at {got_now}/{count} values")
+
+    def _byte(p: int) -> int:
+        # every header byte goes through a bounds check so a mid-header
+        # truncation raises the documented ValueError, not IndexError
+        if p >= blen:
+            raise _trunc(got)
+        return mb[p]
 
     def _skip_varint(p: int) -> int:
-        while mb[p] & 0x80:
+        while _byte(p) & 0x80:
             p += 1
         return p + 1
 
-    pos, got, blen = 0, 0, len(mb)
     while got < count:
         if pos >= blen:
-            raise ValueError(f"RLEv2 stream truncated at {got}/{count} values")
+            raise _trunc(got)
         h0 = mb[pos]
         tag = h0 >> 6
         if tag == 0:  # short repeat
@@ -771,13 +781,13 @@ def rlev2_run_modes(buf: bytes, count: int) -> dict[str, int]:
             modes["short_repeat"] += 1
         elif tag == 1:  # direct
             w = decode_direct_width((h0 >> 1) & 0x1F)
-            n = (((h0 & 1) << 8) | mb[pos + 1]) + 1
+            n = (((h0 & 1) << 8) | _byte(pos + 1)) + 1
             pos += 2 + packed_size(n, w)
             modes["direct"] += 1
         elif tag == 2:  # patched base
             w = decode_direct_width((h0 >> 1) & 0x1F)
-            n = (((h0 & 1) << 8) | mb[pos + 1]) + 1
-            h2, h3 = mb[pos + 2], mb[pos + 3]
+            n = (((h0 & 1) << 8) | _byte(pos + 1)) + 1
+            h2, h3 = _byte(pos + 2), _byte(pos + 3)
             bw = ((h2 >> 5) & 0x7) + 1
             pw = decode_direct_width(h2 & 0x1F)
             pgw = ((h3 >> 5) & 0x7) + 1
@@ -788,7 +798,7 @@ def rlev2_run_modes(buf: bytes, count: int) -> dict[str, int]:
             modes["patched"] += 1
         else:  # delta
             w = decode_delta_width((h0 >> 1) & 0x1F)
-            n = (((h0 & 1) << 8) | mb[pos + 1]) + 1
+            n = (((h0 & 1) << 8) | _byte(pos + 1)) + 1
             pos = _skip_varint(pos + 2)  # base
             if n >= 2:
                 pos = _skip_varint(pos)  # delta base
@@ -796,4 +806,6 @@ def rlev2_run_modes(buf: bytes, count: int) -> dict[str, int]:
                     pos += packed_size(n - 2, w)
             modes["delta"] += 1
         got += n
+    if pos > blen:  # final run's payload extends past the buffer
+        raise _trunc(got)
     return modes

@@ -486,3 +486,30 @@ def test_lz4_oversized_block_decode():
     big = b"A" * (MAX_BLOCK + 1024 * 1024)
     c = bytes(pa.Codec("lz4_raw").compress(big))
     assert _DECODERS["lz4"](c) == big
+
+
+def test_lz4_np_decoder_overlap_collapse():
+    """The NumPy fallback decoder must resolve offset<match_len overlap
+    (periodic/RLE regions) via the arithmetic pre-image jump, staying
+    byte-identical to the scalar reference across periods 1..7 and a
+    full-block offset-1 run (the round-6 ADVICE worst case)."""
+    from orc_rs_spark.kernels.lzblocks import (
+        _lz4_block_decompress_np,
+        _lz4_block_decompress_scalar,
+        lz4_block_compress,
+    )
+
+    rng = np.random.default_rng(7)
+    blobs = [b"A" * (2 * 1024 * 1024)]  # single dominant offset-1 chain
+    for period in (1, 2, 3, 5, 7):
+        pat = bytes(rng.integers(0, 256, period, dtype=np.uint8))
+        blobs.append(pat * (40000 // period))
+    # interleave literals with periodic runs so chains cross sequences
+    blobs.append(b"".join(
+        bytes(rng.integers(0, 256, 17, dtype=np.uint8)) + b"xy" * 300
+        for _ in range(50)
+    ))
+    for blob in blobs:
+        c = lz4_block_compress(blob)
+        assert _lz4_block_decompress_np(c) == blob
+        assert _lz4_block_decompress_scalar(c) == blob

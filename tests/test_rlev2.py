@@ -150,3 +150,23 @@ def test_frame_boundary_splits():
     for n in (MAX_RUN - 1, MAX_RUN, MAX_RUN + 1, 2 * MAX_RUN + 3):
         v = np.arange(n, dtype=np.int64) * 3 - 1000
         np.testing.assert_array_equal(rlev2_decode(rlev2_encode(v), n), v)
+
+
+def test_run_modes_truncated_raises_valueerror():
+    """A stream cut mid-header (or mid-payload) must raise the documented
+    ValueError from rlev2_run_modes, never IndexError (round-6 ADVICE)."""
+    import pytest
+
+    from orc_rs_spark.kernels.rlev2 import rlev2_run_modes
+
+    v = np.concatenate([
+        np.arange(600, dtype=np.int64),          # delta
+        np.full(400, 7, dtype=np.int64),         # short repeat
+        np.array([5, 900, 3, 1 << 40] * 200, dtype=np.int64),  # patched/direct
+    ])
+    enc = rlev2_encode(v)
+    full = rlev2_run_modes(enc, len(v))
+    assert sum(full.values()) >= 3
+    for cut in (0, 1, 2, 3, len(enc) // 3, len(enc) - 1):
+        with pytest.raises(ValueError, match="truncated"):
+            rlev2_run_modes(enc[:cut], len(v))
