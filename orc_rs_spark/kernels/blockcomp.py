@@ -69,11 +69,21 @@ def _build_registry():
     takes (data, level); codecs without a level knob ignore it."""
     from orc_rs_spark.kernels import lzblocks
 
+    from orc_rs_spark.kernels import lzo as lzo_kernel
+
     enc = {"zlib": lambda b, lv: _deflate(b, lv),
            "snappy": lambda b, lv: lzblocks.snappy_compress(b),
-           "lz4": lambda b, lv: lzblocks.lz4_block_compress(b)}
+           "lz4": lambda b, lv: lzblocks.lz4_block_compress(b),
+           # lzo: from-spec only (no container lib bundles lzo1x; the
+           # JVM's pure-Java aircompressor is the cross-validator in
+           # tests/test_lzo.py). The REFERENCE cannot read kind-3 files
+           # at all (no decode arm in src/compression.rs for
+           # orc_proto.proto:386) — this closes that gap in both
+           # directions.
+           "lzo": lambda b, lv: lzo_kernel.lzo1x_compress(b)}
     dec = {"zlib": lambda b: _inflate(b), "snappy": lzblocks.snappy_decompress,
-           "lz4": lzblocks.lz4_block_decompress}
+           "lz4": lzblocks.lz4_block_decompress,
+           "lzo": lzo_kernel.lzo1x_decompress}
     native: dict[str, str] = {}
 
     def _zstd_dec_fallback(b: bytes) -> bytes:
@@ -258,7 +268,7 @@ def _build_registry():
 
 
 _ENCODERS, _DECODERS, NATIVE_CODECS = _build_registry()
-CODECS = ("none", "zlib", "snappy", "lz4", "zstd")
+CODECS = ("none", "zlib", "snappy", "lzo", "lz4", "zstd")
 
 
 def block_compress(data: bytes, codec: str = "zlib", level: int | None = None,

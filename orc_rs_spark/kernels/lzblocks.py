@@ -275,6 +275,20 @@ def _lz4_block_decompress_np(data: bytes, max_size: int | None = None) -> bytes:
             raise ValueError("lz4: output exceeds declared size")
     if out_len == 0:
         return b""
+    return resolve_copy_sequences(mb, ls, ll, mo, ml, out_len)
+
+
+def resolve_copy_sequences(mb: bytes, ls: list, ll: list, mo: list, ml: list,
+                           out_len: int) -> bytes:
+    """Materialize LZ77-family output from parsed sequences, NumPy-only.
+
+    Shared back-end for the lz4 and lzo fallback decoders: each sequence
+    is (literal src start ``ls``, literal length ``ll``, then a back-copy
+    of ``ml`` bytes from ``mo`` back; 0 disables either part). All byte
+    movement happens in bulk gathers — literals via one fancy-indexed
+    gather, match bytes via pointer doubling over a reference array with
+    intra-match overlap chains collapsed arithmetically first."""
+    import numpy as np
 
     lla = np.asarray(ll, dtype=np.int64)
     lsa = np.asarray(ls, dtype=np.int64)

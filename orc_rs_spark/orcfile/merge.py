@@ -57,10 +57,9 @@ from orc_rs_spark.kernels.blockcomp import block_compress
 
 _COPY_CHUNK = 8 << 20  # stripes stream through in 8 MiB slices
 
-# lzo deliberately absent: block_compress cannot frame the rebuilt tail
-# sections for it, so merge refuses lzo files up front instead of dying
-# mid-copy with a half-written output
-_CODEC_ENUM = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
+# round 6: lzo joined block_compress (kernels/lzo.py), so merge can frame
+# rebuilt tail sections for kind-3 files too
+_CODEC_ENUM = {"none": 0, "zlib": 1, "snappy": 2, "lzo": 3, "lz4": 4, "zstd": 5}
 
 _type_sig = schema_signature
 

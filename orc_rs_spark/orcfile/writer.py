@@ -566,13 +566,14 @@ class OrcWriter:
             from orc_rs_spark import __version__ as _v
 
             self.user_metadata["orc_rs_spark.writer"] = f"orc_rs_spark/{_v}".encode()
-        # all four codec tags have REAL encoders: zlib (stdlib raw
+        # all five codec tags have REAL encoders: zlib (stdlib raw
         # deflate), snappy + lz4 (from-spec NumPy, kernels/lzblocks.py),
-        # zstd (from-spec frames, kernels/zstd_enc.py) — native codec
-        # libraries are preferred automatically when importable
-        # (kernels/blockcomp.py registry). lzo has no decoder in the
-        # reference's environment either and is rejected here.
-        self.codec_enum = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}[compression]
+        # zstd (from-spec frames, kernels/zstd_enc.py), lzo (from-spec
+        # LZO1X, kernels/lzo.py — round 6; the reference can't read
+        # kind 3 at all) — native codec libraries are preferred
+        # automatically when importable (kernels/blockcomp.py registry).
+        self.codec_enum = {"none": 0, "zlib": 1, "snappy": 2, "lzo": 3,
+                           "lz4": 4, "zstd": 5}[compression]
         self._f = open(path, "wb")
         self._f.write(b"ORC")
         self._pos = 3

@@ -375,7 +375,7 @@ def test_stream_source_detects_out_of_order_producer(tmp_path):
         reader.latestOffset()
 
 
-@pytest.mark.parametrize("codec", ["snappy", "zstd", "lz4"])
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "lz4", "lzo"])
 def test_datasource_compression_codecs(registered, tmp_path, codec):
     """format("orc_rs") with each real encoder (round 5): write through
     the data source, read back through BOTH the data source and Spark's

@@ -150,6 +150,27 @@ def test_merge_jvm_written_snappy_files(spark, tmp_path):
     assert ours.column("k").to_pylist() == list(range(20000))
 
 
+def test_merge_jvm_written_lzo_files(spark, tmp_path):
+    """Same contract under kind 3 (round 6: lzo joined block_compress,
+    so merge can frame the rebuilt tail for JVM-written lzo files too —
+    a codec the REFERENCE cannot read at all)."""
+    src = str(tmp_path / "jvm_lzo")
+    spark.range(0, 12000).selectExpr(
+        "id AS k", "CAST(id % 89 AS INT) AS v", "CONCAT('t', id) AS s"
+    ).repartition(2).write.option("compression", "lzo").orc(src)
+    import glob
+
+    paths = sorted(glob.glob(f"{src}/*.orc"))
+    assert len(paths) == 2
+    out = str(tmp_path / "merged_lzo.orc")
+    n = merge_orc_files(paths, out)
+    assert n == 12000
+    ours = OrcFileReader(out).read_all().sort_by("k")
+    theirs = spark.read.orc(out).toArrow().cast(ours.schema).sort_by("k")
+    assert ours.combine_chunks().equals(theirs.combine_chunks())
+    assert ours.column("k").to_pylist() == list(range(12000))
+
+
 @pytest.mark.spark
 def test_compact_orc_dir(spark, tmp_path):
     """Distributed compaction: many small parts -> few target-sized
