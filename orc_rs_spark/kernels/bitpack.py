@@ -11,6 +11,8 @@ replacement for the reference's per-value bit loop (its own TODO at
 
 from __future__ import annotations
 
+from bisect import bisect_left
+
 import numpy as np
 
 # encoded 5-bit value -> real bit width (Apache ORC v1 spec)
@@ -35,18 +37,22 @@ def bit_width(values: np.ndarray) -> int:
     return max(1, m.bit_length())
 
 
+# plain-tuple mirror of DIRECT_WIDTH_TABLE: the scalar lookups below run
+# once per frame/candidate in the rlev2 encoder hot loop, where
+# bisect on a tuple is ~10x cheaper than np.searchsorted dispatch
+_DIRECT_WIDTHS = tuple(int(w) for w in DIRECT_WIDTH_TABLE)
+
+
 def closest_direct_width(width: int) -> int:
     """Round a bit width up to the nearest entry in the direct table."""
-    i = int(np.searchsorted(DIRECT_WIDTH_TABLE, max(1, width)))
-    return int(DIRECT_WIDTH_TABLE[i])
+    return _DIRECT_WIDTHS[bisect_left(_DIRECT_WIDTHS, width if width > 1 else 1)]
 
 
 def closest_delta_width(width: int) -> int:
     """Round a delta bit width up (min usable packed width is 2; 0 = fixed)."""
     if width == 0:
         return 0
-    i = int(np.searchsorted(DELTA_WIDTH_TABLE, max(2, width)))
-    return int(DELTA_WIDTH_TABLE[i])
+    return _DIRECT_WIDTHS[bisect_left(_DIRECT_WIDTHS, width if width > 2 else 2)]
 
 
 def encode_direct_width(width: int) -> int:
@@ -78,6 +84,15 @@ def bitpack(values: np.ndarray, width: int) -> bytes:
     n = v.shape[0]
     if width == 0 or n == 0:
         return b""
+    if n <= 32:
+        # tiny inputs (patch/gap entry lists, short runs): one big-int
+        # accumulator beats the array kernels' per-call dispatch cost
+        mask = (1 << width) - 1
+        acc = 0
+        for x in v.tolist():
+            acc = (acc << width) | (x & mask)
+        total = n * width
+        return (acc << (-total % 8)).to_bytes((total + 7) // 8, "big")
     if width in (8, 16, 32, 64):  # byte-aligned: one big-endian cast
         dt = {8: ">u1", 16: ">u2", 32: ">u4", 64: ">u8"}[width]
         return v.astype(dt).tobytes()

@@ -75,19 +75,33 @@ def _decode_base(raw: bytes) -> int:
     return u
 
 
+def _scalar_varint(z: int) -> bytes:
+    """LEB128 for one value already in uint64 space — pure-Python scalar
+    (byte-identical to varint_encode on a 1-element array, without the
+    ~45us of array construction the hot frame loop was paying per call)."""
+    out = bytearray()
+    while z > 0x7F:
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+    out.append(z)
+    return bytes(out)
+
+
 def _signed_varint(x: int) -> bytes:
-    return varint_encode(zigzag_encode(np.array([x], dtype=np.int64)))
+    # Python's arithmetic shifts make (x << 1) ^ (x >> 63) exact zigzag for
+    # any int64 x, including the -2^63 wraparound case
+    return _scalar_varint((x << 1) ^ (x >> 63))
 
 
 def _unsigned_varint(x: int) -> bytes:
-    return varint_encode(np.array([x], dtype=np.uint64))
+    return _scalar_varint(x & 0xFFFFFFFFFFFFFFFF)
 
 
 # ---------------------------------------------------------------- encoders
 
 
 def _emit_short_repeat(value: int, count: int, signed: bool, out: list) -> None:
-    u = int(_as_unsigned(np.array([value], dtype=np.int64), signed)[0])
+    u = ((value << 1) ^ (value >> 63)) if signed else (value & 0xFFFFFFFFFFFFFFFF)
     w = max(1, (u.bit_length() + 7) // 8)
     out.append(bytes([((w - 1) << 3) | (count - 3)]))
     out.append(u.to_bytes(w, "big"))
@@ -345,21 +359,21 @@ def rlev2_encode(
     # per-frame monotonicity from global diffs; boundary diffs neutralized
     d = np.diff(v) if n > 1 else np.empty(0, dtype=np.int64)
     if len(d):
-        dge = d >= 0
-        dle = d <= 0
         bpos = ends[:-1] - 1  # diffs that straddle frame boundaries
-        dge[bpos] = True
-        dle[bpos] = True
-        rstart = np.minimum(starts, len(d) - 1)
-        inc = np.add.reduceat(~dge, rstart) == 0
-        dec = np.add.reduceat(~dle, rstart) == 0
+        # zeroing boundary diffs in place is safe: the emit slices
+        # (d[s:e-1]) exclude them, and 0 is neutral for every per-frame
+        # reduction below — this lets min/max reduceat decide monotonicity
+        # directly instead of materializing two boolean arrays + inverts
         first_d = d[np.minimum(starts, len(d) - 1)]
+        d[bpos] = 0
+        rstart = np.minimum(starts, len(d) - 1)
+        inc = np.minimum.reduceat(d, rstart) >= 0
+        dec = np.maximum.reduceat(d, rstart) <= 0
         # |delta| widths excluding each frame's first diff and boundary
         # diffs. bit_length is monotonic over uint64, so max-reduce the
         # VALUES per frame and bit-length the k-element result — one
         # whole-array pass (abs) instead of the full bit_lengths kernel
         dmag = np.abs(d).view(np.uint64)
-        dmag[bpos] = 0
         dmag[np.minimum(starts, len(d) - 1)] = 0
         delta_w = bit_lengths(np.maximum.reduceat(dmag, rstart))
         single = seg_lens == 1
@@ -373,15 +387,35 @@ def rlev2_encode(
         np.uint64(1) << np.uint64(63)
     )
     mono = (inc | (dec & (first_d != 0))) & safe_range & ~const
-    u_all = _as_unsigned(v, signed)
+    # per-frame max ZIGZAG value without a whole-array zigzag pass:
+    # zigzag(x) grows with x for x >= 0 and with |x| for x < 0, so the
+    # frame's max zigzag is at one of its extremes — k-sized math on the
+    # min/max arrays already computed (unsigned mode's uint64 view is free
+    # but its max isn't derivable from int64 min/max under mixed signs,
+    # so it keeps the reduceat)
+    if signed:
+        zz_frame_max = np.maximum(zigzag_encode(maxs), zigzag_encode(mins))
+    else:
+        zz_frame_max = np.maximum.reduceat(v.view(np.uint64), starts)
     # same monotonicity trick: bit-length the per-frame MAX, not the array
-    zz_w = bit_lengths(np.maximum.reduceat(u_all, starts))
+    zz_w = bit_lengths(zz_frame_max)
     adj_all = v.view(np.uint64) - np.repeat(mins, seg_lens).view(np.uint64)
     abls = bit_lengths(adj_all)
     fw = np.maximum.reduceat(abls, starts)
     from orc_rs_spark.kernels.bitpack import DIRECT_WIDTH_TABLE
 
     dir_w = DIRECT_WIDTH_TABLE[np.searchsorted(DIRECT_WIDTH_TABLE, np.maximum(zz_w, 1))]
+    # patched-base probe stats for ALL frames in bulk: the FoR width rounded
+    # to the table, and the 90th-percentile bit-length order statistic via a
+    # per-frame histogram (bit lengths are 0..64, so one bincount over the
+    # whole array + a k x 65 cumsum replaces a np.partition per frame)
+    wfc_all = DIRECT_WIDTH_TABLE[np.searchsorted(DIRECT_WIDTH_TABLE, np.maximum(fw, 1))]
+    frame_id = np.repeat(np.arange(k, dtype=np.int64), seg_lens)
+    hist = np.bincount(frame_id * 65 + abls, minlength=k * 65).reshape(k, 65)
+    rank = (9 * (seg_lens - 1)) // 10 + 1  # 1-based rank of the q90 statistic
+    w90_bl = np.argmax(np.cumsum(hist, axis=1) >= rank[:, None], axis=1)
+    w90_tab = DIRECT_WIDTH_TABLE[np.searchsorted(DIRECT_WIDTH_TABLE, np.maximum(w90_bl, 1))]
+    w90_all = np.where(wfc_all >= 4, w90_tab, wfc_all)
     # direct frames are batched per width: padding every frame to a multiple
     # of 8 values makes each frame's packed bytes byte-aligned and
     # independent, so ONE bitpack call per distinct width replaces one call
@@ -404,16 +438,12 @@ def rlev2_encode(
             continue
         w_direct = int(dir_w[i])
         cost_direct = 2 + packed_size(L, w_direct)
-        wfc = closest_direct_width(int(fw[i]))
+        wfc = int(wfc_all[i])
         # patched-base plausible when FoR alone shrinks width, or when the
         # frame is big enough that trimming outliers can pay for the header
         if L >= 8 and abs(int(mins[i])).bit_length() + 1 <= 64:
             seg_bls = abls[s:e]
-            if wfc >= 4:
-                qi = (9 * (L - 1)) // 10  # 90th-percentile order statistic
-                w90c = closest_direct_width(max(1, int(np.partition(seg_bls, qi)[qi])))
-            else:
-                w90c = wfc
+            w90c = int(w90_all[i])
             est_patched = 4 + 9 + packed_size(L, min(w90c, wfc)) + (31 * 5 if w90c < wfc else 0)
             if est_patched < cost_direct:
                 best_plan = None
@@ -454,7 +484,9 @@ def rlev2_encode(
         )
         out.append(b"")  # placeholder, filled by the per-width batch pack
         direct_groups.setdefault(w_direct, []).append((len(out) - 1, s, e))
-    def _batch_pack(groups: dict, source: np.ndarray, mask_to_w: bool) -> None:
+    def _batch_pack(
+        groups: dict, source: np.ndarray, mask_to_w: bool, zigzag: bool = False
+    ) -> None:
         for w, frames in groups.items():
             padded_total = sum((e - s + 7) // 8 * 8 for _, s, e in frames)
             buf = np.zeros(padded_total, dtype=np.uint64)
@@ -462,6 +494,10 @@ def rlev2_encode(
             for _, s, e in frames:
                 buf[pos : pos + (e - s)] = source[s:e]
                 pos += (e - s + 7) // 8 * 8
+            if zigzag:
+                # zigzag only the gathered direct-frame values (padding
+                # zeros map to 0) instead of a whole-array pass up front
+                buf = zigzag_encode(buf.view(np.int64))
             if mask_to_w and w < 64:
                 buf &= (_U64_ONE << np.uint64(w)) - _U64_ONE
             packed = bitpack(buf, w)
@@ -472,7 +508,7 @@ def rlev2_encode(
                 out[out_idx] = packed[off : off + nb]
                 off += (L + 7) // 8 * 8 * w // 8
 
-    _batch_pack(direct_groups, u_all, mask_to_w=False)
+    _batch_pack(direct_groups, v.view(np.uint64), mask_to_w=False, zigzag=signed)
     # patched DATA keeps only the low w bits (outlier high bits ride the
     # patch list)
     _batch_pack(patched_groups, adj_all, mask_to_w=True)
