@@ -1392,10 +1392,23 @@ def q_stream_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True).start()
     )
     assert q1.awaitTermination(300), "streaming ORC sink did not finish"
-    batch_ids = {
-        _os.path.basename(f).split("-")[2]
-        for f in _glob.glob(f"{out}/part-*.orc")
-    }
+    # the sink commits one file per (query, batch, task) named
+    # part-{time}-q{query}b{batch:08d}-{task:05d}.orc (datasource.py
+    # _StreamingSinkWriter); match that shape strictly so a future rename
+    # of the sink's pattern fails HERE with a naming error, not three
+    # lines later as a confusing micro-batch-count assertion
+    import re as _re
+
+    _name_re = _re.compile(r"^part-[^-]+-(q[0-9a-fx]+b\d{8})-\d{5}\.orc$")
+    batch_ids = set()
+    for f in _glob.glob(f"{out}/part-*.orc"):
+        m = _name_re.match(_os.path.basename(f))
+        assert m, (
+            f"streaming sink file name {_os.path.basename(f)!r} no longer "
+            "matches part-<time>-q<query>b<batch>-<task>.orc — update this "
+            "gate alongside datasource.py's sink naming"
+        )
+        batch_ids.add(m.group(1))
     assert len(batch_ids) >= 4, f"expected >=4 micro-batches, saw {batch_ids}"
     sink = f"stream_orc_rt_{_os.getpid()}"
     q2 = (
