@@ -399,23 +399,32 @@ def rlev2_encode(
         zz_frame_max = np.maximum.reduceat(v.view(np.uint64), starts)
     # same monotonicity trick: bit-length the per-frame MAX, not the array
     zz_w = bit_lengths(zz_frame_max)
-    adj_all = v.view(np.uint64) - np.repeat(mins, seg_lens).view(np.uint64)
-    abls = bit_lengths(adj_all)
-    fw = np.maximum.reduceat(abls, starts)
     from orc_rs_spark.kernels.bitpack import DIRECT_WIDTH_TABLE
 
     dir_w = DIRECT_WIDTH_TABLE[np.searchsorted(DIRECT_WIDTH_TABLE, np.maximum(zz_w, 1))]
-    # patched-base probe stats for ALL frames in bulk: the FoR width rounded
-    # to the table, and the 90th-percentile bit-length order statistic via a
-    # per-frame histogram (bit lengths are 0..64, so one bincount over the
-    # whole array + a k x 65 cumsum replaces a np.partition per frame)
-    wfc_all = DIRECT_WIDTH_TABLE[np.searchsorted(DIRECT_WIDTH_TABLE, np.maximum(fw, 1))]
-    frame_id = np.repeat(np.arange(k, dtype=np.int64), seg_lens)
-    hist = np.bincount(frame_id * 65 + abls, minlength=k * 65).reshape(k, 65)
-    rank = (9 * (seg_lens - 1)) // 10 + 1  # 1-based rank of the q90 statistic
-    w90_bl = np.argmax(np.cumsum(hist, axis=1) >= rank[:, None], axis=1)
-    w90_tab = DIRECT_WIDTH_TABLE[np.searchsorted(DIRECT_WIDTH_TABLE, np.maximum(w90_bl, 1))]
-    w90_all = np.where(wfc_all >= 4, w90_tab, wfc_all)
+    # patched-base probe stats, computed ONLY if some frame can reach the
+    # probe branch (non-const, non-mono, >=8 values) — monotonic/constant
+    # columns (offsets, ids) skip three whole-array passes + a histogram
+    if bool(np.any(~const & ~mono & (seg_lens >= 8))):
+        adj_all = v.view(np.uint64) - np.repeat(mins, seg_lens).view(np.uint64)
+        abls = bit_lengths(adj_all)
+        fw = np.maximum.reduceat(abls, starts)
+        # FoR width rounded to the table, and the 90th-percentile bit-length
+        # order statistic for every frame in bulk: bit lengths are 0..64, so
+        # one bincount over the whole array + a k x 65 cumsum replaces a
+        # np.partition per frame (65*frame_id is fused into the repeat to
+        # avoid an extra n-sized multiply temp)
+        wfc_all = DIRECT_WIDTH_TABLE[np.searchsorted(DIRECT_WIDTH_TABLE, np.maximum(fw, 1))]
+        hist = np.bincount(
+            np.repeat(np.arange(k, dtype=np.int64) * 65, seg_lens) + abls,
+            minlength=k * 65,
+        ).reshape(k, 65)
+        rank = (9 * (seg_lens - 1)) // 10 + 1  # 1-based rank of the q90 statistic
+        w90_bl = np.argmax(np.cumsum(hist, axis=1) >= rank[:, None], axis=1)
+        w90_tab = DIRECT_WIDTH_TABLE[np.searchsorted(DIRECT_WIDTH_TABLE, np.maximum(w90_bl, 1))]
+        w90_all = np.where(wfc_all >= 4, w90_tab, wfc_all)
+    else:
+        adj_all = abls = wfc_all = w90_all = None
     # direct frames are batched per width: padding every frame to a multiple
     # of 8 values makes each frame's packed bytes byte-aligned and
     # independent, so ONE bitpack call per distinct width replaces one call
@@ -438,10 +447,11 @@ def rlev2_encode(
             continue
         w_direct = int(dir_w[i])
         cost_direct = 2 + packed_size(L, w_direct)
-        wfc = int(wfc_all[i])
         # patched-base plausible when FoR alone shrinks width, or when the
         # frame is big enough that trimming outliers can pay for the header
-        if L >= 8 and abs(int(mins[i])).bit_length() + 1 <= 64:
+        # (wfc_all is None only when NO frame can reach here — see above)
+        if wfc_all is not None and L >= 8 and abs(int(mins[i])).bit_length() + 1 <= 64:
+            wfc = int(wfc_all[i])
             seg_bls = abls[s:e]
             w90c = int(w90_all[i])
             est_patched = 4 + 9 + packed_size(L, min(w90c, wfc)) + (31 * 5 if w90c < wfc else 0)
