@@ -213,7 +213,10 @@ def choose_string_codec(arr: pa.Array) -> str:
         _, payload = S.arrow_string_parts(sample.combine_chunks() if isinstance(sample, pa.ChunkedArray) else sample)
     except (ValueError, TypeError):
         payload = b""
-    probe = payload[:SAMPLE]
+    # 16 KiB decides FSST-vs-not as reliably as 64 KiB (symbol statistics
+    # stabilize within a few KiB) at a quarter of the trial-encode cost,
+    # which was approaching a full duplicate encode per string column
+    probe = payload[: SAMPLE // 4]
     fsst_wins = len(probe) >= 256 and len(fsst_encode(probe, rounds=2)) < 0.9 * len(probe)
     if dict_wins and fsst_wins:
         return "str_dict_fsst"
