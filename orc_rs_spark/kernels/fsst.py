@@ -86,7 +86,14 @@ def _top_grams(a: np.ndarray, w: int, limit: int = 512, min_count: int = 4):
     vals = _gram_values(a, w)
     if not len(vals):
         return []
-    if w >= 3 and len(vals) > 1 << 17:
+    if w == 2:
+        # 2-gram value space is 2^16: a bincount histogram replaces the
+        # sort np.unique pays, with identical output (flatnonzero is the
+        # same ascending-unique order unique() returns)
+        full = np.bincount(vals, minlength=1 << 16)
+        uniq = np.flatnonzero(full)
+        counts = full[uniq]
+    elif w >= 3 and len(vals) > 1 << 17:
         # stride-sample wide grams: frequency RANKING survives 2x
         # decimation and training cost halves (counts are rescaled)
         vals = vals[::2]
