@@ -90,38 +90,58 @@ def search_token(chunks: DataFrame, token: int) -> DataFrame:
     return pruned.mapInArrow(scan, TOKEN_DDL)
 
 
-def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> tuple[int, int]:
-    """Distributed bit-identity check: join on doc_id, compare token arrays.
+def verify_roundtrip(
+    original: DataFrame, decoded: DataFrame, exact: bool = False
+) -> tuple[int, int]:
+    """Distributed round-trip identity check: join on doc_id, compare tokens.
 
     Returns (n_rows, n_mismatches); n_mismatches must be 0. Mirrors the
     reference's round-trip decode-equality tests
     (/root/reference/src/encoding/rlev1.rs:826-867) at distributed scale.
+
+    By default each side is projected to ``(doc_id, xxhash64(tokens),
+    size(tokens), n_tok)`` BEFORE the join, so the full-outer join shuffles
+    ~30 bytes/row instead of both sides' whole token payloads (guide §2.3:
+    shuffle keys and metadata, not payloads — on the 100 k-row bench this
+    cuts the join's shuffle from 2 x ~190 MB to ~6 MB). A corrupted decode
+    escapes detection only on a 64-bit xxhash collision for its exact row
+    (~2^-64 per row; the token arrays carry no null elements, the one input
+    class where Spark's hash is lossy). ``exact=True`` keeps the original
+    byte-for-byte array comparison for when absolute bit-identity evidence
+    is required (tests pin both modes against each other on tampered data).
     """
-    o = original.select(
-        F.col("doc_id"),
-        F.col("tokens").alias("o_tokens"),
-        F.col("n_tok").alias("o_n_tok"),
-        F.lit(1).alias("o_present"),
-    )
-    d = decoded.select(
-        F.col("doc_id"),
-        F.col("tokens").alias("d_tokens"),
-        F.col("n_tok").alias("d_n_tok"),
-        F.lit(1).alias("d_present"),
-    )
-    j = o.join(d, "doc_id", "full_outer")
+
+    def proj(df: DataFrame, tag: str) -> DataFrame:
+        cols = [F.col("doc_id"), F.lit(1).alias(f"{tag}_present")]
+        if exact:
+            cols += [
+                F.col("tokens").alias(f"{tag}_tokens"),
+                F.col("n_tok").alias(f"{tag}_n_tok"),
+            ]
+        else:
+            cols += [
+                F.xxhash64(F.col("tokens")).alias(f"{tag}_tokens"),
+                F.col("tokens").isNull().alias(f"{tag}_toknull"),
+                F.size(F.col("tokens")).alias(f"{tag}_len"),
+                F.col("n_tok").alias(f"{tag}_n_tok"),
+            ]
+        return df.select(*cols)
+
+    j = proj(original, "o").join(proj(decoded, "d"), "doc_id", "full_outer")
     # null-safe equality: legitimately-null token arrays compare equal;
     # rows missing from either side (presence marker null) are mismatches
+    bad_cond = (
+        F.col("o_present").isNull()
+        | F.col("d_present").isNull()
+        | ~F.col("o_tokens").eqNullSafe(F.col("d_tokens"))
+        | ~F.col("o_n_tok").eqNullSafe(F.col("d_n_tok"))
+    )
+    if not exact:
+        bad_cond = bad_cond | ~F.col("o_toknull").eqNullSafe(
+            F.col("d_toknull")
+        ) | ~F.col("o_len").eqNullSafe(F.col("d_len"))
     agg = j.select(
         F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(
-                F.col("o_present").isNull()
-                | F.col("d_present").isNull()
-                | ~F.col("o_tokens").eqNullSafe(F.col("d_tokens"))
-                | ~F.col("o_n_tok").eqNullSafe(F.col("d_n_tok")),
-                1,
-            ).otherwise(0)
-        ).alias("bad"),
+        F.sum(F.when(bad_cond, 1).otherwise(0)).alias("bad"),
     ).collect()[0]
     return int(agg["n"]), int(agg["bad"] or 0)

@@ -327,44 +327,65 @@ def read_orc(
             f"{n} {_orc_type_ddl(tail0.footer.types, s, scan=True)}" for n, s in pairs
         )
     par = spark.sparkContext.defaultParallelism
+    def _decode_stream(pairs) -> Iterator[pa.RecordBatch]:
+        readers: dict[str, OrcFileReader] = {}
+        for f, i in pairs:
+            if f not in readers:
+                readers[f] = OrcFileReader(f)
+            r = readers[f]
+            groups = None
+            if predicates:
+                for p in predicates:
+                    form = predicate_form(p)
+                    if form[0] == "range":
+                        g = r.prune_row_groups(int(i), form[1], form[2], form[3])
+                    else:
+                        g = r.prune_row_groups_in(int(i), form[1], form[2])
+                    if g is not None:
+                        groups = g if groups is None else sorted(set(groups) & set(g))
+                if groups == []:
+                    continue  # every row group proven out of range
+            for batch in r.read_stripe_batches(
+                int(i), columns, batch_rows=batch_rows, row_groups=groups
+            ):
+                if residual:
+                    batch = _apply_residual(batch, predicates)
+                if batch.num_rows:
+                    yield _spark_friendly(batch)
+
     if len(files) > DISTRIBUTED_PLAN_THRESHOLD:
         stripe_df = _plan_scan_distributed(
             spark, files, predicates, _schema_sig(tail0), files[0]
         ).repartition(4 * max(1, par))
-    else:
-        work = _plan_scan_threaded(files, predicates)
-        stripe_df = spark.createDataFrame(
-            [(f, int(i)) for f, i in work], "path string, stripe bigint"
-        ).repartition(scan_partitions(len(work), par))
 
-    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        readers: dict[str, OrcFileReader] = {}
-        for b in batches:
-            for f, i in zip(b.column("path").to_pylist(), b.column("stripe").to_pylist()):
-                if f not in readers:
-                    readers[f] = OrcFileReader(f)
-                r = readers[f]
-                groups = None
-                if predicates:
-                    for p in predicates:
-                        form = predicate_form(p)
-                        if form[0] == "range":
-                            g = r.prune_row_groups(int(i), form[1], form[2], form[3])
-                        else:
-                            g = r.prune_row_groups_in(int(i), form[1], form[2])
-                        if g is not None:
-                            groups = g if groups is None else sorted(set(groups) & set(g))
-                    if groups == []:
-                        continue  # every row group proven out of range
-                for batch in r.read_stripe_batches(
-                    int(i), columns, batch_rows=batch_rows, row_groups=groups
-                ):
-                    if residual:
-                        batch = _apply_residual(batch, predicates)
-                    if batch.num_rows:
-                        yield _spark_friendly(batch)
+        def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            def pairs():
+                for b in batches:
+                    yield from zip(
+                        b.column("path").to_pylist(), b.column("stripe").to_pylist()
+                    )
 
-    return stripe_df.mapInArrow(decode, ddl)
+            yield from _decode_stream(pairs())
+
+        return stripe_df.mapInArrow(decode, ddl)
+
+    # small scans plan on the driver; the work list rides in the task
+    # closure and tasks are dealt contiguous index ranges of a pure-JVM
+    # ``range`` — no python-RDD createDataFrame leg and no Exchange at all
+    # (one stage instead of two; contiguous ranges also keep a file's
+    # stripes on one task, so the tail/Metadata reads amortize per file)
+    work = _plan_scan_threaded(files, predicates)
+    ids_df = spark.range(len(work), numPartitions=scan_partitions(len(work), par))
+
+    def decode_ids(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def pairs():
+            for b in batches:
+                for i in b.column("id").to_pylist():
+                    yield work[int(i)]
+
+        yield from _decode_stream(pairs())
+
+    return ids_df.mapInArrow(decode_ids, ddl)
 
 
 def write_orc_dir(
@@ -661,23 +682,43 @@ def read_orc_evolve(
         stripe_df = paths_df.mapInArrow(plan, "path string, stripe bigint").repartition(
             4 * max(1, par)
         )
-    else:
-        work = _plan_scan_threaded(files, predicates, require_uniform=False)
-        stripe_df = spark.createDataFrame(
-            [(f, int(i)) for f, i in work], "path string, stripe bigint"
-        ).repartition(scan_partitions(max(1, len(work)), par))
-
-    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def _decode_stream(pairs) -> Iterator[pa.RecordBatch]:
         readers: dict[str, OrcFileReader] = {}
-        for b in batches:
-            for f, i in zip(b.column("path").to_pylist(), b.column("stripe").to_pylist()):
-                if f not in readers:
-                    readers[f] = OrcFileReader(f)
-                yield from evolve_decode_stripe(
-                    readers[f], int(i), target_schema, predicates, batch_rows
-                )
+        for f, i in pairs:
+            if f not in readers:
+                readers[f] = OrcFileReader(f)
+            yield from evolve_decode_stripe(
+                readers[f], int(i), target_schema, predicates, batch_rows
+            )
 
-    return stripe_df.mapInArrow(decode, ddl)
+    if distributed:
+        def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            def pairs():
+                for b in batches:
+                    yield from zip(
+                        b.column("path").to_pylist(), b.column("stripe").to_pylist()
+                    )
+
+            yield from _decode_stream(pairs())
+
+        return stripe_df.mapInArrow(decode, ddl)
+
+    # small scans: work list in the closure over a pure-JVM range — no
+    # python-RDD createDataFrame leg, no Exchange (same shape as read_orc)
+    work = _plan_scan_threaded(files, predicates, require_uniform=False)
+    ids_df = spark.range(
+        len(work), numPartitions=scan_partitions(max(1, len(work)), par)
+    )
+
+    def decode_ids(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def pairs():
+            for b in batches:
+                for i in b.column("id").to_pylist():
+                    yield work[int(i)]
+
+        yield from _decode_stream(pairs())
+
+    return ids_df.mapInArrow(decode_ids, ddl)
 
 
 def evolve_decode_stripe(r: OrcFileReader, i: int, target_schema: pa.Schema,

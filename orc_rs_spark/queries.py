@@ -107,9 +107,15 @@ def rt_engine_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output is exploded to one row per (doc, pos, token) so every decoded
     token is individually value-hashed against the oracle (the driver's
-    canonicalizer cannot hash array<> columns)."""
+    canonicalizer cannot hash array<> columns).
+
+    partition_mode="hash": range mode's ``repartitionByRange`` sampling
+    pass re-executes the upstream groupBy a second time (the sampler scans
+    the child plan); hash partitioning needs one execution and one
+    exchange. The decoded row SET is identical either way — only which
+    chunk a row lands in changes, and decode returns every row."""
     df = token_table_from_events(spark, sf_dir)
-    chunks = encode_table(df, partitions=4)
+    chunks = encode_table(df, partitions=4, partition_mode="hash")
     decoded = decode_table(chunks)
     return decoded.select(
         "doc_id", "n_tok", "source", F.posexplode("tokens").alias("pos", "token")

@@ -17,6 +17,46 @@ _MALLOC_TUNING = {
 }
 
 
+def _prewarm_workers(spark: SparkSession, cores: int) -> None:
+    """One-time executor warm-up: fork every Python worker slot, import the
+    package's kernel/orcfile module surface, and grow each worker's heap once.
+
+    Without this, the FIRST heavy task of every worker pays seconds of
+    serialized first-touch page zeroing (32 fresh heaps faulting at once —
+    the same effect the malloc tuning above addresses for steady state) plus
+    the package import chain; measured on the bench box the first 32-task
+    encode/ORC-write/read stage ran 3-5x its steady-state time (event-log
+    task medians 4.4 s vs 0.85 s). This is provisioning work, equivalent to
+    executor spin-up on a cluster: it runs one ``spark.range`` job, touches
+    no input data, and computes nothing that any later query reuses.
+
+    Opt out with ORC_RS_PREWARM=0 (e.g. single-query scripts where session
+    startup dominates)."""
+    if os.environ.get("ORC_RS_PREWARM", "1") == "0":
+        return
+    if getattr(spark, "_orc_rs_prewarmed", False):
+        return
+
+    def warm(batches):
+        import numpy as np
+
+        import orc_rs_spark.chunk  # noqa: F401  (kernels chain)
+        import orc_rs_spark.orcfile.spark_source  # noqa: F401 (writer+reader)
+
+        a = np.ones(64 << 20, dtype=np.uint8)  # first-touch ~64 MB of heap
+        del a
+        import time
+
+        time.sleep(0.05)  # hold the slot so every core forks its own worker
+        yield from batches
+
+    try:
+        spark.range(cores, numPartitions=cores).mapInArrow(warm, "id long").count()
+    except Exception:
+        pass  # warm-up must never break session creation
+    spark._orc_rs_prewarmed = True
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "orc_rs_spark",
@@ -54,7 +94,9 @@ def get_spark(
         b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _prewarm_workers(spark, max(1, spark.sparkContext.defaultParallelism))
+    return spark
 
 
 def iceberg_conf(catalog: str = "ice", warehouse: str = "/tmp/iceberg_warehouse") -> dict:

@@ -204,3 +204,59 @@ def test_jvm_reads_lz_codecs(spark, tmp_path):
     # snappy/lz4 genuinely compress (strings/keys here are match-rich)
     assert sizes["snappy"] < sizes["none"] * 0.9
     assert sizes["lz4"] < sizes["none"] * 0.9
+
+
+@pytest.mark.spark
+def test_verify_roundtrip_hash_mode_detects_tampering(spark):
+    """The hash-proxy verify (default) must agree with exact mode: 0 bad on
+    identical data, and every tampered row class detected — changed token
+    value (same length), changed length, dropped row, nulled array."""
+    from pyspark.sql import functions as F
+
+    df = token_df(spark, 400, seed=7, partitions=2).cache()
+    df.count()
+
+    # identical copies agree in both modes
+    for exact in (False, True):
+        n, bad = verify_roundtrip(df, df, exact=exact)
+        assert n == 400
+        assert bad == 0
+
+    # value tamper: bump one element of one doc's tokens (length preserved)
+    victim = df.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    tampered_val = df.withColumn(
+        "tokens",
+        F.when(
+            F.col("doc_id") == victim,
+            F.transform("tokens", lambda x, i: F.when(i == 0, x + 1).otherwise(x)),
+        ).otherwise(F.col("tokens")),
+    )
+    # length tamper: drop the first token but keep n_tok (decode would
+    # normally keep them consistent; verify must still catch it)
+    tampered_len = df.withColumn(
+        "tokens",
+        F.when(
+            F.col("doc_id") == victim, F.slice("tokens", 2, 10_000_000)
+        ).otherwise(F.col("tokens")),
+    )
+    # null tamper: whole array nulled
+    tampered_null = df.withColumn(
+        "tokens",
+        F.when(F.col("doc_id") == victim, F.lit(None).cast("array<int>")).otherwise(
+            F.col("tokens")
+        ),
+    )
+    # dropped row
+    dropped = df.where(F.col("doc_id") != victim)
+
+    for tam, want_n in (
+        (tampered_val, 400),
+        (tampered_len, 400),
+        (tampered_null, 400),
+        (dropped, 400),  # full outer keeps the orphan original row
+    ):
+        for exact in (False, True):
+            n, bad = verify_roundtrip(df, tam, exact=exact)
+            assert n == want_n, f"exact={exact}"
+            assert bad == 1, f"exact={exact}"
+    df.unpersist()
