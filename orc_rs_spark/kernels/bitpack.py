@@ -74,6 +74,12 @@ def decode_delta_width(enc: int) -> int:
 def bitpack(values: np.ndarray, width: int) -> bytes:
     """Pack a uint64 array into ``width``-bit big-endian values (byte-padded).
 
+    PRECONDITION: every value fits in ``width`` bits — callers derive width
+    from ``bit_lengths(values).max()``. Out-of-range values are a contract
+    violation; no path masks them, so every size regime bleeds high bits
+    into neighboring lanes alike (the tiny path may also raise
+    OverflowError when the overflow outgrows the output buffer).
+
     Groups of 8 values occupy exactly ``width`` output bytes; each output
     byte is assembled from at most two adjacent values with shifts — ~w
     bytes of memory traffic per value instead of the 64 B/value a naive
@@ -87,10 +93,9 @@ def bitpack(values: np.ndarray, width: int) -> bytes:
     if n <= 32:
         # tiny inputs (patch/gap entry lists, short runs): one big-int
         # accumulator beats the array kernels' per-call dispatch cost
-        mask = (1 << width) - 1
         acc = 0
         for x in v.tolist():
-            acc = (acc << width) | (x & mask)
+            acc = (acc << width) | x
         total = n * width
         return (acc << (-total % 8)).to_bytes((total + 7) // 8, "big")
     if width in (8, 16, 32, 64):  # byte-aligned: one big-endian cast

@@ -641,6 +641,11 @@ def rlev2_decode(buf: bytes, count: int, signed: bool = True) -> np.ndarray:
             frame = [got, min(n, count - got), n, data_pos, base, None, None]
             patched_frames.setdefault(w, []).append(frame)
             if pll:
+                if pgw + pw > 64:
+                    # width table has no entry past 64; a crafted header
+                    # (e.g. pw=64, pgw=8) must fail as malformed, not
+                    # IndexError past the 32-entry table
+                    raise ValueError("invalid patched-base header: pgw + pw > 64")
                 cw = closest_direct_width(pgw + pw)
                 patch_jobs.setdefault(cw, []).append((frame, pos, pll, pw))
                 pos += packed_size(pll, cw)
@@ -840,6 +845,8 @@ def rlev2_run_modes(buf: bytes, count: int) -> dict[str, int]:
             pll = h3 & 0x1F
             pos += 4 + bw + packed_size(n, w)
             if pll:
+                if pgw + pw > 64:
+                    raise ValueError("invalid patched-base header: pgw + pw > 64")
                 pos += packed_size(pll, closest_direct_width(pgw + pw))
             modes["patched"] += 1
         else:  # delta

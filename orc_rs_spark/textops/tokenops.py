@@ -121,9 +121,10 @@ def hash_sample(docs: DataFrame, rate: float, key_col: str = "doc_id",
     Use distinct salts for disjoint samples (train/validation splits).
 
     The keep-threshold is computed EXACTLY as floor(rate * 2^60) over the
-    rate float's true binary value (Fraction avoids the double-rounding of
-    ``rate * float(1 << 60)``, which could shift the bound by 1 and flip a
-    boundary row). Cross-engine bit-reproducibility is unconditional for
+    rate float's true binary value. (The Fraction form is for clarity, not
+    necessity: 2^60 is a power of two, so ``rate * float(1 << 60)`` is also
+    exact in IEEE-754 for every representable rate — both forms yield the
+    same bound.) Cross-engine bit-reproducibility is unconditional for
     dyadic-rational rates (0.25, 0.5, 1/1024, ...) where the float is the
     rate itself; for rates like 0.1 the oracle must floor the same float's
     value (decimal-arithmetic engines computing 0.1 * 2^60 exactly land on

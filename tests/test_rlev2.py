@@ -170,3 +170,24 @@ def test_run_modes_truncated_raises_valueerror():
     for cut in (0, 1, 2, 3, len(enc) // 3, len(enc) - 1):
         with pytest.raises(ValueError, match="truncated"):
             rlev2_run_modes(enc[:cut], len(v))
+
+
+def test_patched_header_width_overflow_is_valueerror():
+    """A crafted patched-base header with pw=64 (encoded 31) and pgw=8
+    makes pgw+pw=72, past the 32-entry direct width table: both the
+    decoder and rlev2_run_modes must raise the documented ValueError,
+    never IndexError (round-6 ADVICE)."""
+    import pytest
+
+    from orc_rs_spark.kernels.rlev2 import rlev2_decode, rlev2_run_modes
+
+    # tag=2 (patched), encoded width 31 -> 64 bits, n-1=7 -> n=8
+    h0 = (2 << 6) | (31 << 1) | 0
+    h1 = 7
+    h2 = (0 << 5) | 31          # bw=1, pw encoded 31 -> 64
+    h3 = (7 << 5) | 1           # pgw=8, pll=1
+    buf = bytes([h0, h1, h2, h3, 0]) + b"\x00" * 80
+    with pytest.raises(ValueError, match="patched-base header"):
+        rlev2_run_modes(buf, 8)
+    with pytest.raises(ValueError, match="patched-base header"):
+        rlev2_decode(buf, 8, signed=True)

@@ -154,10 +154,11 @@ def test_encode_table_weighted_mode_roundtrips(spark):
 
 def test_hash_sample_bound_is_exact(spark):
     """The keep-threshold is floor(rate * 2^60) over the rate float's
-    EXACT binary value (round-5 ADVICE: ``rate * float(1 << 60)`` double-
-    rounds and can shift the bound by one, flipping a boundary row).
-    Pure-Python md5 arithmetic with the Fraction bound must reproduce the
-    kept set bit-for-bit — including at the non-dyadic rate 0.1."""
+    EXACT binary value. (Multiplying by the power of two 2^60 is itself
+    exact in IEEE-754, so ``rate * float(1 << 60)`` would give the same
+    bound; the Fraction form just states the intent.) Pure-Python md5
+    arithmetic with the Fraction bound must reproduce the kept set
+    bit-for-bit — including at the non-dyadic rate 0.1."""
     import hashlib
     from fractions import Fraction
 
