@@ -9,6 +9,11 @@ Prints one JSON line with component timings; also dumps
 
 Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
            python bench_extra.py [--plans]
+       SPARK_GRAFT_CPUS=32 python bench_extra.py --sf1
+           (round-7 VERDICT item 2: the ORC wire write/read legs at 1M rows
+           / ~230M values — 10x the frozen bench's sf0.1 — so per-file
+           planning and footer overheads are measured at a scale where
+           stripes-per-file > 1; min-of-2 per leg, one JSON line)
 """
 
 from __future__ import annotations
@@ -24,7 +29,96 @@ def noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def run_sf1() -> None:
+    """ORC wire write/read at 1,000,000 rows (~230M token values): the
+    sf0.1 bench never exercises files this large; an extra 8-partition leg
+    writes multi-stripe files (2 stripes each) for the stripe-parallel read.
+    Uses the same fixture generator at 10x rows; caches the parquet input
+    under /tmp like bench.py does for its scale."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    rows = 1_000_000
+    cache_dir = f"/tmp/orc_rs_bench/tokens_sf1_r{rows}"
+
+    from pyspark.sql import functions as F
+
+    from orc_rs_spark.session import get_spark
+    from orc_rs_spark.fixtures import token_table
+    from orc_rs_spark.orcfile.spark_source import read_orc, write_orc_dir
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="orc_rs_bench_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(cache_dir):
+        import pyarrow.parquet as pq
+
+        tbl = token_table(rows, seed=42)
+        os.makedirs(cache_dir, exist_ok=True)
+        nf = 32
+        for i in range(nf):
+            lo = i * rows // nf
+            hi = (i + 1) * rows // nf
+            pq.write_table(tbl.slice(lo, hi - lo), f"{cache_dir}/part-{i:02d}.parquet")
+        del tbl
+
+    df = spark.read.parquet(cache_dir)
+    n_values = int(df.agg(F.sum("n_tok")).collect()[0][0])
+    nparts = int(cpus) if cpus.isdigit() else 32
+    work_dir = "/tmp/orc_rs_bench/sf1_wire"
+
+    q6 = float("inf")
+    for _ in range(2):
+        shutil.rmtree(work_dir, ignore_errors=True)
+        t0 = time.time()
+        write_orc_dir(df.repartition(nparts), work_dir)
+        q6 = min(q6, time.time() - t0)
+    wire_bytes = sum(
+        os.path.getsize(os.path.join(work_dir, f)) for f in os.listdir(work_dir)
+    )
+    q7 = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        got = int(read_orc(spark, work_dir).agg(F.sum("n_tok")).collect()[0][0])
+        q7 = min(q7, time.time() - t0)
+        assert got == n_values, "sf1 wire round-trip lost values"
+
+    # multi-stripe leg: 8 fat part files of ~125k rows = 2 stripes each
+    # (stripe_rows 65536), so the stripe-parallel read fans 16 work units
+    # over 8 files — the shape a compacted 100 TB directory presents
+    ms_dir = "/tmp/orc_rs_bench/sf1_wire_8p"
+    q6_8 = float("inf")
+    for _ in range(2):
+        shutil.rmtree(ms_dir, ignore_errors=True)
+        t0 = time.time()
+        write_orc_dir(df.repartition(8), ms_dir)
+        q6_8 = min(q6_8, time.time() - t0)
+    q7_8 = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        got = int(read_orc(spark, ms_dir).agg(F.sum("n_tok")).collect()[0][0])
+        q7_8 = min(q7_8, time.time() - t0)
+        assert got == n_values, "sf1 multi-stripe round-trip lost values"
+
+    result = {
+        "metric": "bench_sf1_wire",
+        "rows": rows,
+        "n_values": n_values,
+        "cpus": cpus,
+        "q6_orc_wire_write_sec": round(q6, 3),
+        "q7_orc_wire_read_sec": round(q7, 3),
+        "orc_wire_bytes": wire_bytes,
+        "orc_wire_write_tokens_per_sec": round(n_values / q6),
+        "orc_wire_read_tokens_per_sec": round(n_values / q7),
+        "q6_8part_write_sec": round(q6_8, 3),
+        "q7_8part_multistripe_read_sec": round(q7_8, 3),
+        "runs_per_leg": 2,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
 def main() -> None:
+    if "--sf1" in sys.argv:
+        return run_sf1()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
