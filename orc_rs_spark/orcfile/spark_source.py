@@ -171,6 +171,22 @@ def scan_partitions(n_work: int, default_parallelism: int) -> int:
     return max(1, min(n_work, 4 * max(1, default_parallelism)))
 
 
+def _pairs_from_plan(batches) -> Iterator[tuple]:
+    """(file, stripe) pairs from a distributed-plan (path, stripe)
+    DataFrame's Arrow batches — shared by read_orc / read_orc_evolve."""
+    for b in batches:
+        yield from zip(b.column("path").to_pylist(), b.column("stripe").to_pylist())
+
+
+def _pairs_from_ids(batches, work: list) -> Iterator[tuple]:
+    """(file, stripe) pairs by indexing the closure-carried work list with
+    a pure-JVM ``range`` DataFrame's ids — shared by read_orc /
+    read_orc_evolve small-scan paths."""
+    for b in batches:
+        for i in b.column("id").to_pylist():
+            yield work[int(i)]
+
+
 def _schema_sig(tail) -> tuple:
     """Mixed-schema gate signature — delegates to the shared
     reader.schema_signature (one source of truth with merge's
@@ -359,13 +375,7 @@ def read_orc(
         ).repartition(4 * max(1, par))
 
         def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            def pairs():
-                for b in batches:
-                    yield from zip(
-                        b.column("path").to_pylist(), b.column("stripe").to_pylist()
-                    )
-
-            yield from _decode_stream(pairs())
+            yield from _decode_stream(_pairs_from_plan(batches))
 
         return stripe_df.mapInArrow(decode, ddl)
 
@@ -378,12 +388,7 @@ def read_orc(
     ids_df = spark.range(len(work), numPartitions=scan_partitions(len(work), par))
 
     def decode_ids(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        def pairs():
-            for b in batches:
-                for i in b.column("id").to_pylist():
-                    yield work[int(i)]
-
-        yield from _decode_stream(pairs())
+        yield from _decode_stream(_pairs_from_ids(batches, work))
 
     return ids_df.mapInArrow(decode_ids, ddl)
 
@@ -693,13 +698,7 @@ def read_orc_evolve(
 
     if distributed:
         def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            def pairs():
-                for b in batches:
-                    yield from zip(
-                        b.column("path").to_pylist(), b.column("stripe").to_pylist()
-                    )
-
-            yield from _decode_stream(pairs())
+            yield from _decode_stream(_pairs_from_plan(batches))
 
         return stripe_df.mapInArrow(decode, ddl)
 
@@ -711,12 +710,7 @@ def read_orc_evolve(
     )
 
     def decode_ids(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        def pairs():
-            for b in batches:
-                for i in b.column("id").to_pylist():
-                    yield work[int(i)]
-
-        yield from _decode_stream(pairs())
+        yield from _decode_stream(_pairs_from_ids(batches, work))
 
     return ids_df.mapInArrow(decode_ids, ddl)
 

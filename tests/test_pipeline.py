@@ -32,7 +32,7 @@ def test_encode_job_with_crash_resume(spark, tmp_path):
     chunks = spark.read.parquet(chunks_dir)
     assert chunks.select("chunk_id").distinct().count() == chunks.count()
     decoded = decode_table(chunks)
-    n, bad = verify_roundtrip(df, decoded)
+    n, bad = verify_roundtrip(df, decoded, exact=True)
     assert n == 2000 and bad == 0
 
     # lineage has per-bucket metrics

@@ -1,5 +1,8 @@
 """End-to-end distributed round-trip: encode -> chunk table -> decode ->
-bit-identity join (the north star's core invariant, BASELINE.json:15).
+identity join (the north star's core invariant, BASELINE.json:15).
+Tests that CLAIM bit-identity call verify_roundtrip(exact=True) — the
+byte-for-byte array comparison; the default hash-proxy mode is pinned
+against it in test_verify_roundtrip_hash_mode_detects_tampering.
 """
 
 import numpy as np
@@ -71,7 +74,7 @@ def test_spark_roundtrip_bit_identity(spark):
     n_chunks = chunks.count()
     assert n_chunks >= 4
     decoded = decode_table(chunks)
-    n, bad = verify_roundtrip(df, decoded)
+    n, bad = verify_roundtrip(df, decoded, exact=True)
     assert n == 3000
     assert bad == 0
     chunks.unpersist()
